@@ -1,0 +1,801 @@
+r"""Collocation-point generators: atomic samplers + a combinator algebra.
+
+Capability parity with the reference's ``neurodiffeq/generators.py`` (atomic
+``Generator1D/2D/3D/ND/Spherical`` and the ``+``/``*``/``^`` combinator algebra
+plus Concat/Static/Predefined/Transform/Ensemble/Mesh/Filter/Resample/Batch/
+Sampler wrappers, ``generators.py:51-1064``), re-designed for JAX: every
+generator exposes a **pure** ``sample(key)`` function on static shapes, so
+sampling runs *inside* the jitted train step on device (torch's stateful RNG
+becomes explicit key-splitting). The stateful ``get_examples()`` convenience
+API is kept for drop-in parity; it draws subkeys from the global key store.
+
+Generators whose semantics are inherently dynamic-shaped (``FilterGenerator``
+with ``update_size=True``, ``BatchGenerator``'s rolling cache) are flagged
+``jittable = False`` and are sampled host-side by the solvers — XLA requires
+static shapes, so these fall back to a slower but fully compatible path.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .utils import next_rng_key, get_default_dtype
+
+__all__ = [
+    'BaseGenerator', 'Generator1D', 'Generator2D', 'Generator3D', 'GeneratorND',
+    'GeneratorSpherical', 'ConcatGenerator', 'StaticGenerator', 'PredefinedGenerator',
+    'TransformGenerator', 'EnsembleGenerator', 'MeshGenerator', 'FilterGenerator',
+    'ResampleGenerator', 'BatchGenerator', 'SamplerGenerator',
+]
+
+
+def _dtype():
+    return get_default_dtype()
+
+
+def _chebyshev_first(a, b, n):
+    nodes = jnp.cos(((jnp.arange(n, dtype=_dtype()) + 0.5) / n) * np.pi)
+    return ((a + b) + (b - a) * nodes) / 2
+
+
+def _chebyshev_second(a, b, n):
+    nodes = jnp.cos(jnp.arange(n, dtype=_dtype()) / float(n - 1) * np.pi)
+    return ((a + b) + (b - a) * nodes) / 2
+
+
+def _chebyshev_second_noisy(key, a, b, n):
+    noise = jax.random.uniform(key, (n,), dtype=_dtype()) * 2 - 1
+    nodes = jnp.cos((jnp.arange(n, dtype=_dtype()) + noise) / float(n - 1) * np.pi)
+    return ((a + b) + (b - a) * nodes) / 2
+
+
+def _latin_hypercube(key, a, b, n):
+    k1, k2 = jax.random.split(key)
+    step = (b - a) / n
+    lowers = a + step * jnp.arange(n, dtype=_dtype())
+    points = lowers + jax.random.uniform(k1, (n,), dtype=_dtype()) * step
+    return jax.random.permutation(k2, points)
+
+
+def _compute_log_negative(t_min, t_max, whence):
+    if t_min <= 0 or t_max <= 0:
+        raise ValueError(
+            f"In this version, the interval [{t_min}, {t_max}] cannot be used for "
+            f"log-sampling in {whence}. If you meant to sample from the interval "
+            f"[10 ^ {t_min}, 10 ^ {t_max}], please pass in {10 ** t_min} and {10 ** t_max}"
+        )
+    return np.log10(t_min), np.log10(t_max)
+
+
+class BaseGenerator:
+    """Base class for all generators.
+
+    Children implement ``sample(key)`` (pure; returns an array of shape
+    ``(size,)`` or a tuple of such arrays) and a ``size`` attribute.
+    """
+
+    jittable = True
+
+    def __init__(self):
+        self.size = None
+
+    def sample(self, key):
+        raise NotImplementedError  # pragma: no cover
+
+    def get_examples(self):
+        """Stateful convenience API: draw a fresh subkey and sample."""
+        out = self.sample(next_rng_key())
+        if isinstance(out, tuple) and len(out) == 1:
+            return out[0]
+        return out
+
+    @staticmethod
+    def check_generator(obj):
+        if not isinstance(obj, BaseGenerator):
+            raise ValueError(f"{obj} is not a generator")
+
+    def __add__(self, other):
+        self.check_generator(other)
+        return ConcatGenerator(self, other)
+
+    def __mul__(self, other):
+        self.check_generator(other)
+        return EnsembleGenerator(self, other)
+
+    def __xor__(self, other):
+        self.check_generator(other)
+        return MeshGenerator(self, other)
+
+    def _internal_vars(self) -> dict:
+        return dict(size=self.size)
+
+    @staticmethod
+    def _obj_repr(obj) -> str:
+        if isinstance(obj, tuple):
+            return '(' + ', '.join(BaseGenerator._obj_repr(item) for item in obj) + ')'
+        if isinstance(obj, list):
+            return '[' + ', '.join(BaseGenerator._obj_repr(item) for item in obj) + ']'
+        if isinstance(obj, set):
+            return '{' + ', '.join(BaseGenerator._obj_repr(item) for item in obj) + '}'
+        if isinstance(obj, dict):
+            return '{' + ', '.join(
+                BaseGenerator._obj_repr(k) + ': ' + BaseGenerator._obj_repr(obj[k])
+                for k in obj
+            ) + '}'
+        if isinstance(obj, (jnp.ndarray, jax.Array, np.ndarray)):
+            return f'array(shape={tuple(obj.shape)})'
+        return repr(obj)
+
+    def __repr__(self):
+        d = self._internal_vars()
+        keys = ', '.join(f'{k}={self._obj_repr(d[k])}' for k in d)
+        return f'{self.__class__.__name__}({keys})'
+
+
+def _as_tuple(out):
+    if isinstance(out, (tuple, list)):
+        return tuple(out)
+    return (out,)
+
+
+class Generator1D(BaseGenerator):
+    """An example generator for generating 1-D training points.
+
+    :param size: Number of points generated each time ``get_examples`` is called.
+    :type size: int
+    :param t_min: Lower bound of the 1-D points generated, defaults to 0.0.
+    :type t_min: float, optional
+    :param t_max: Upper bound of the 1-D points generated, defaults to 1.0.
+    :type t_max: float, optional
+    :param method: one of 'uniform', 'equally-spaced', 'equally-spaced-noisy',
+        'log-spaced', 'log-spaced-noisy', 'chebyshev'/'chebyshev1', 'chebyshev2',
+        'chebyshev2-noisy', 'latin-hypercube'; defaults to 'uniform'.
+        (Same set as reference ``generators.py:107-178``.)
+    :type method: str, optional
+    :param noise_std: standard deviation of the noise for noisy methods;
+        defaults to ``((t_max - t_min) / size) / 4``.
+    :raises ValueError: When provided with an unknown method.
+    """
+
+    def __init__(self, size, t_min=0.0, t_max=1.0, method='uniform', noise_std=None):
+        super().__init__()
+        self.size = size
+        self.t_min, self.t_max = t_min, t_max
+        self.method = method
+        self.noise_std = noise_std if noise_std else ((t_max - t_min) / size) / 4.0
+
+        if method in ('log-spaced', 'log-spaced-noisy'):
+            self._log_bounds = _compute_log_negative(t_min, t_max, self.__class__)
+        elif method not in (
+                'uniform', 'equally-spaced', 'equally-spaced-noisy',
+                'chebyshev', 'chebyshev1', 'chebyshev2', 'chebyshev2-noisy', 'latin-hypercube'):
+            raise ValueError(f'Unknown method: {method}')
+
+    def sample(self, key):
+        m, n = self.method, self.size
+        if m == 'uniform':
+            return jax.random.uniform(key, (n,), dtype=_dtype()) * (self.t_max - self.t_min) + self.t_min
+        if m == 'equally-spaced':
+            return jnp.linspace(self.t_min, self.t_max, n, dtype=_dtype())
+        if m == 'equally-spaced-noisy':
+            base = jnp.linspace(self.t_min, self.t_max, n, dtype=_dtype())
+            return base + jax.random.normal(key, (n,), dtype=_dtype()) * self.noise_std
+        if m == 'log-spaced':
+            lo, hi = self._log_bounds
+            return jnp.logspace(lo, hi, n, dtype=_dtype())
+        if m == 'log-spaced-noisy':
+            lo, hi = self._log_bounds
+            base = jnp.logspace(lo, hi, n, dtype=_dtype())
+            return base + jax.random.normal(key, (n,), dtype=_dtype()) * self.noise_std
+        if m in ('chebyshev', 'chebyshev1'):
+            return _chebyshev_first(self.t_min, self.t_max, n)
+        if m == 'chebyshev2':
+            return _chebyshev_second(self.t_min, self.t_max, n)
+        if m == 'chebyshev2-noisy':
+            return _chebyshev_second_noisy(key, self.t_min, self.t_max, n)
+        if m == 'latin-hypercube':
+            return _latin_hypercube(key, self.t_min, self.t_max, n)
+        raise ValueError(f'Unknown method: {m}')  # pragma: no cover
+
+    def _internal_vars(self):
+        d = super()._internal_vars()
+        d.update(dict(t_min=self.t_min, t_max=self.t_max, method=self.method, noise_std=self.noise_std))
+        return d
+
+
+class Generator2D(BaseGenerator):
+    r"""An example generator for generating 2-D training points on an
+    ``m x n`` grid (flattened), with the same method set as the reference
+    (``generators.py:194-303``).
+
+    :param grid: grid shape ``(m, n)``, defaults to ``(10, 10)``.
+    :param xy_min: lower bounds ``(x_0, y_0)``, defaults to ``(0.0, 0.0)``.
+    :param xy_max: upper bounds ``(x_1, y_1)``, defaults to ``(1.0, 1.0)``.
+    :param method: 'equally-spaced', 'equally-spaced-noisy', 'chebyshev'/
+        'chebyshev1', 'chebyshev2', 'chebyshev2-noisy', or 'latin-hypercube';
+        defaults to 'equally-spaced-noisy'.
+    :param xy_noise_std: per-axis noise std; defaults to grid-step / 4 per axis.
+    """
+
+    def __init__(self, grid=(10, 10), xy_min=(0.0, 0.0), xy_max=(1.0, 1.0), method='equally-spaced-noisy',
+                 xy_noise_std=None):
+        super().__init__()
+        self.grid = grid
+        self.size = grid[0] * grid[1]
+        self.xy_min = xy_min
+        self.xy_max = xy_max
+        self.method = method
+        self.xy_noise_std = xy_noise_std
+        if method not in ('equally-spaced', 'equally-spaced-noisy', 'chebyshev', 'chebyshev1',
+                          'chebyshev2', 'chebyshev2-noisy', 'latin-hypercube'):
+            raise ValueError(f'Unknown method: {method}')
+
+    def _axes(self, key):
+        m = self.method
+        k1, k2 = jax.random.split(key)
+        axes = []
+        for i, k in zip(range(2), (k1, k2)):
+            a, b, n = self.xy_min[i], self.xy_max[i], self.grid[i]
+            if m in ('equally-spaced', 'equally-spaced-noisy'):
+                axes.append(jnp.linspace(a, b, n, dtype=_dtype()))
+            elif m in ('chebyshev', 'chebyshev1'):
+                axes.append(_chebyshev_first(a, b, n))
+            elif m == 'chebyshev2':
+                axes.append(_chebyshev_second(a, b, n))
+            elif m == 'chebyshev2-noisy':
+                axes.append(_chebyshev_second_noisy(k, a, b, n))
+            elif m == 'latin-hypercube':
+                axes.append(_latin_hypercube(k, a, b, n))
+        return axes
+
+    def sample(self, key):
+        key, k1, k2 = jax.random.split(key, 3)
+        x, y = self._axes(key)
+        gx, gy = jnp.meshgrid(x, y, indexing='ij')
+        gx, gy = gx.flatten(), gy.flatten()
+        if self.method == 'equally-spaced-noisy':
+            if self.xy_noise_std:
+                sx, sy = self.xy_noise_std
+            else:
+                sx = ((self.xy_max[0] - self.xy_min[0]) / self.grid[0]) / 4.0
+                sy = ((self.xy_max[1] - self.xy_min[1]) / self.grid[1]) / 4.0
+            gx = gx + jax.random.normal(k1, gx.shape, dtype=_dtype()) * sx
+            gy = gy + jax.random.normal(k2, gy.shape, dtype=_dtype()) * sy
+        return gx, gy
+
+    def _internal_vars(self) -> dict:
+        d = super()._internal_vars()
+        d.update(dict(grid=self.grid, xy_min=self.xy_min, xy_max=self.xy_max,
+                      method=self.method, xy_noise_std=self.xy_noise_std))
+        return d
+
+
+class Generator3D(BaseGenerator):
+    r"""An example generator for generating 3-D training points on an
+    ``m x n x k`` grid. NOT TO BE CONFUSED with ``GeneratorSpherical``.
+    (Reference ``generators.py:317-416``.)
+    """
+
+    def __init__(self, grid=(10, 10, 10), xyz_min=(0.0, 0.0, 0.0), xyz_max=(1.0, 1.0, 1.0),
+                 method='equally-spaced-noisy'):
+        super().__init__()
+        self.size = grid[0] * grid[1] * grid[2]
+        self.grid = grid
+        self.xyz_min = xyz_min
+        self.xyz_max = xyz_max
+        self.method = method
+        if method not in ('equally-spaced', 'equally-spaced-noisy', 'chebyshev', 'chebyshev1',
+                          'chebyshev2', 'latin-hypercube'):
+            raise ValueError(f"Unknown method: {method}")
+
+    def sample(self, key):
+        keys = jax.random.split(key, 6)
+        axes = []
+        for i in range(3):
+            a, b, n = self.xyz_min[i], self.xyz_max[i], self.grid[i]
+            m = self.method
+            if m in ('equally-spaced', 'equally-spaced-noisy'):
+                axes.append(jnp.linspace(a, b, n, dtype=_dtype()))
+            elif m in ('chebyshev', 'chebyshev1'):
+                axes.append(_chebyshev_first(a, b, n))
+            elif m == 'chebyshev2':
+                axes.append(_chebyshev_second(a, b, n))
+            elif m == 'latin-hypercube':
+                axes.append(_latin_hypercube(keys[i], a, b, n))
+        gx, gy, gz = jnp.meshgrid(*axes, indexing='ij')
+        gx, gy, gz = gx.flatten(), gy.flatten(), gz.flatten()
+        if self.method == 'equally-spaced-noisy':
+            stds = [((self.xyz_max[i] - self.xyz_min[i]) / self.grid[i]) / 4.0 for i in range(3)]
+            gx = gx + jax.random.normal(keys[3], gx.shape, dtype=_dtype()) * stds[0]
+            gy = gy + jax.random.normal(keys[4], gy.shape, dtype=_dtype()) * stds[1]
+            gz = gz + jax.random.normal(keys[5], gz.shape, dtype=_dtype()) * stds[2]
+        return gx, gy, gz
+
+    def _internal_vars(self) -> dict:
+        d = super()._internal_vars()
+        d.update(dict(grid=self.grid, xyz_min=self.xyz_min, xyz_max=self.xyz_max, method=self.method))
+        return d
+
+
+class GeneratorND(BaseGenerator):
+    r"""An example generator for generating N-D training points as a meshgrid
+    with a per-axis method list (reference ``generators.py:419-557``).
+
+    :param grid: per-axis node counts; int allowed if N=1.
+    :param r_min: per-axis lower bounds.
+    :param r_max: per-axis upper bounds.
+    :param methods: per-axis method: 'uniform', 'equally-spaced', 'log-spaced',
+        'exp-spaced', 'chebyshev'/'chebyshev1', 'chebyshev2'.
+    :param noisy: add per-axis gaussian noise if True (default).
+    :param r_noise_std: per-axis noise std overrides.
+    :param cut: per-axis (start, stop) slices of the node set. (kwarg)
+    :param base: per-axis log base for 'exp-spaced'. (kwarg)
+    :param abs_value: take abs of noisy samples. (kwarg)
+    """
+
+    def __init__(self, grid=(10, 10), r_min=(0.0, 0.0), r_max=(1.0, 1.0),
+                 methods=['equally-spaced', 'equally-spaced'], noisy=True, r_noise_std=None,
+                 **kwargs):
+        super().__init__()
+        self.grid = grid
+        self.r_min = r_min
+        self.r_max = r_max
+        self.methods = methods
+        self.noisy = noisy
+        self.r_noise_std = r_noise_std
+
+        if isinstance(methods, str):
+            methods = [methods]
+        if isinstance(grid, int):
+            grid = (grid,)
+        if isinstance(r_min, (float, int)):
+            r_min = (r_min,)
+        if isinstance(r_max, (float, int)):
+            r_max = (r_max,)
+        if isinstance(r_noise_std, (float, int)):
+            r_noise_std = (r_noise_std,)
+
+        N = len(grid)
+        cut = kwargs.pop('cut', tuple((None, None) for _ in range(N)))
+        base = kwargs.pop('base', tuple(10 for _ in range(N)))
+        abs_value = kwargs.pop('abs_value', False)
+        if kwargs:
+            raise ValueError(f'Unknown keyword argument(s): {list(kwargs.keys())}')
+        if isinstance(base, (float, int)):
+            base = (base,)
+        if isinstance(cut[0], (float, int)) or cut[0] is None:
+            cut = (cut,)
+
+        self._N = N
+        self._grid = grid
+        self._r_min, self._r_max = r_min, r_max
+        self._methods = methods
+        self._cut = cut
+        self._base = base
+        self._abs_value = abs_value
+        self._r_noise_std_tuple = r_noise_std
+
+        # node sets and noise-std vectors are fixed (except 'uniform' axes,
+        # which resample every call); compute sizes after cutting
+        axis_sizes = []
+        for i in range(N):
+            n = grid[i]
+            lo, hi = cut[i]
+            axis_sizes.append(len(range(*slice(lo, hi).indices(n))))
+        self.size = int(np.prod(axis_sizes))
+
+    def _axis_nodes(self, i, key):
+        method = self._methods[i]
+        a, b, n = self._r_min[i], self._r_max[i], self._grid[i]
+        if self._r_noise_std_tuple:
+            noise_rstd = self._r_noise_std_tuple[i]
+        else:
+            noise_rstd = ((b - a) / n) / 4.0
+
+        if method == 'equally-spaced':
+            x = jnp.linspace(a, b, n, dtype=_dtype())
+            std = noise_rstd * jnp.ones((n,), dtype=_dtype())
+        elif method == 'uniform':
+            x = jax.random.uniform(key, (n,), dtype=_dtype()) * (b - a) + a
+            std = jnp.zeros((n,), dtype=_dtype())
+        elif method == 'log-spaced':
+            x = jnp.logspace(np.log10(a), np.log10(b), n, dtype=_dtype())
+            std = noise_rstd * jnp.logspace(np.log10(a), np.log10(b), n, dtype=_dtype())
+        elif method == 'exp-spaced':
+            lo_exp = self._base[i] ** a
+            hi_exp = self._base[i] ** b
+            lin = jnp.linspace(lo_exp, hi_exp, n, dtype=_dtype())
+            x = jnp.log(lin) / np.log(self._base[i])
+            std = noise_rstd * x
+        elif method in ('chebyshev', 'chebyshev1'):
+            x = _chebyshev_first(a, b, n)
+            std = noise_rstd * jnp.ones((n,), dtype=_dtype())
+        elif method == 'chebyshev2':
+            x = _chebyshev_second(a, b, n)
+            std = noise_rstd * jnp.ones((n,), dtype=_dtype())
+        else:
+            raise ValueError(f'Unknown method: {method}')
+
+        lo, hi = self._cut[i]
+        return x[lo:hi], std[lo:hi]
+
+    def sample(self, key):
+        keys = jax.random.split(key, 2 * self._N)
+        nodes, stds = [], []
+        for i in range(self._N):
+            x, s = self._axis_nodes(i, keys[i])
+            nodes.append(x)
+            stds.append(s)
+        grids = jnp.meshgrid(*nodes, indexing='ij')
+        grid_stds = jnp.meshgrid(*stds, indexing='ij')
+        out = []
+        for i in range(self._N):
+            g = grids[i].flatten()
+            if self.noisy:
+                g = g + jax.random.normal(keys[self._N + i], g.shape, dtype=_dtype()) * grid_stds[i].flatten()
+                if self._abs_value:
+                    g = jnp.abs(g)
+            out.append(g)
+        return tuple(out)
+
+    def _internal_vars(self) -> dict:
+        d = super()._internal_vars()
+        d.update(dict(grid=self.grid, r_min=self.r_min, r_max=self.r_max,
+                      methods=self.methods, noisy=self.noisy, r_noise_std=self.r_noise_std))
+        return d
+
+
+class GeneratorSpherical(BaseGenerator):
+    r"""A generator of points in spherical coordinates, uniform on the sphere,
+    with volume-uniform (``r^2 ~ U``) or radius-uniform (``r ~ U``) radii
+    (reference ``generators.py:572-646``).
+
+    :param size: number of points.
+    :param r_min: interior radius.
+    :param r_max: exterior radius.
+    :param method: 'equally-spaced-noisy' (``r^2 ~ U``) or 'equally-radius-noisy'
+        (``r ~ U``).
+    """
+
+    def __init__(self, size, r_min=0., r_max=1., method='equally-spaced-noisy'):
+        super().__init__()
+        if r_min < 0 or r_max < r_min:
+            raise ValueError(f"Illegal range [{r_min}, {r_max}]")
+        if method not in ('equally-spaced-noisy', 'equally-radius-noisy'):
+            raise ValueError(f'Unknown method: {method}')
+        self.size = size
+        self.r_min = r_min
+        self.r_max = r_max
+        self.method = method
+        self.shape = (size,)
+
+    def sample(self, key):
+        ka, kb, kc, ksx, ksy, ksz, kr = jax.random.split(key, 7)
+        shape = self.shape
+        a = jax.random.uniform(ka, shape, dtype=_dtype())
+        b = jax.random.uniform(kb, shape, dtype=_dtype())
+        c = jax.random.uniform(kc, shape, dtype=_dtype())
+        denom = a + b + c
+        eps = 1e-6
+        x = jnp.sqrt(a / denom) + eps
+        y = jnp.sqrt(b / denom) + eps
+        z = jnp.sqrt(c / denom) + eps
+        x = x * (jax.random.randint(ksx, shape, 0, 2).astype(x.dtype) * 2 - 1)
+        y = y * (jax.random.randint(ksy, shape, 0, 2).astype(y.dtype) * 2 - 1)
+        z = z * (jax.random.randint(ksz, shape, 0, 2).astype(z.dtype) * 2 - 1)
+
+        theta = jnp.arccos(z)
+        phi = -jnp.arctan2(y, x) + np.pi  # atan2 ranges (-pi, pi]; shift to [0, 2pi)
+
+        u = jax.random.uniform(kr, shape, dtype=_dtype())
+        if self.method == 'equally-spaced-noisy':
+            lower, upper = self.r_min ** 2, self.r_max ** 2
+            r = jnp.sqrt((upper - lower) * u + lower)
+        else:
+            r = (self.r_max - self.r_min) * u + self.r_min
+        return r, theta, phi
+
+    def _internal_vars(self) -> dict:
+        d = super()._internal_vars()
+        d.update(dict(r_min=self.r_min, r_max=self.r_max, method=self.method))
+        return d
+
+
+# ------------------------------------------------------------- combinators
+
+class ConcatGenerator(BaseGenerator):
+    r"""Concatenates the sample vectors of its sub-generators
+    (``g1 + g2``; reference ``generators.py:658-688``)."""
+
+    def __init__(self, *generators):
+        super().__init__()
+        self.generators = generators
+        self.size = sum(gen.size for gen in generators)
+
+    @property
+    def jittable(self):
+        return all(g.jittable for g in self.generators)
+
+    def sample(self, key):
+        keys = jax.random.split(key, len(self.generators))
+        all_examples = [_as_tuple(g.sample(k)) for g, k in zip(self.generators, keys)]
+        n_cols = len(all_examples[0])
+        if any(len(e) != n_cols for e in all_examples):
+            raise ValueError("Sub-generators return different numbers of columns")
+        cols = tuple(jnp.concatenate([e[j] for e in all_examples]) for j in range(n_cols))
+        return cols[0] if n_cols == 1 else cols
+
+    def _internal_vars(self) -> dict:
+        d = super()._internal_vars()
+        d.update(dict(generators=self.generators))
+        return d
+
+
+class StaticGenerator(BaseGenerator):
+    """Samples the sub-generator once at construction and returns the same
+    samples every time (reference ``generators.py:691-714``)."""
+
+    def __init__(self, generator):
+        super().__init__()
+        self.generator = generator
+        self.size = generator.size
+        self.examples = generator.sample(next_rng_key())
+
+    def sample(self, key):
+        return self.examples
+
+    def _internal_vars(self) -> dict:
+        d = super()._internal_vars()
+        d.update(dict(generator=self.generator, examples=self.examples))
+        return d
+
+
+class PredefinedGenerator(BaseGenerator):
+    """A generator of fixed, user-provided points (reference ``generators.py:717-749``)."""
+
+    def __init__(self, *xs):
+        super().__init__()
+        self.size = len(xs[0])
+        for x in xs:
+            if self.size != len(x):
+                raise ValueError(f'tensors of different lengths encountered {self.size} != {len(x)}')
+        self.xs = tuple(jnp.asarray(x, dtype=_dtype()).flatten() for x in xs)
+
+    def sample(self, key):
+        if len(self.xs) == 1:
+            return self.xs[0]
+        return self.xs
+
+    def _internal_vars(self) -> dict:
+        d = super()._internal_vars()
+        d.update(dict(xs=self.xs))
+        return d
+
+
+class TransformGenerator(BaseGenerator):
+    """Applies transformations to the sample vectors
+    (reference ``generators.py:752-801``).
+
+    :param generator: base generator.
+    :param transforms: list of per-column callables (None = identity).
+    :param transform: a single callable applied to the whole output tuple.
+    """
+
+    def __init__(self, generator, transforms=None, transform=None):
+        super().__init__()
+        self.generator = generator
+        self.size = generator.size
+        if transforms is not None and transform is not None:
+            raise ValueError("transform and transforms cannot be both specified")
+        if transforms is not None:
+            self.trans = [(lambda x: x) if t is None else t for t in transforms]
+        elif transform is not None:
+            self.trans = transform
+        else:
+            self.trans = lambda x: x
+
+    @property
+    def jittable(self):
+        return self.generator.jittable
+
+    def sample(self, key):
+        xs = self.generator.sample(key)
+        if not isinstance(xs, tuple):
+            if callable(self.trans):
+                return self.trans(xs)
+            return self.trans[0](xs)
+        if callable(self.trans):
+            return self.trans(*xs)
+        return tuple(t(x) for t, x in zip(self.trans, xs))
+
+    def _internal_vars(self) -> dict:
+        d = super()._internal_vars()
+        d.update(dict(generator=self.generator, trans=self.trans))
+        return d
+
+
+class EnsembleGenerator(BaseGenerator):
+    r"""Returns ALL the samples of its sub-generators as one tuple
+    (``g1 * g2``; reference ``generators.py:804-845``). Sub-generators must
+    have equal sizes."""
+
+    def __init__(self, *generators):
+        super().__init__()
+        self.size = generators[0].size
+        for i, gen in enumerate(generators):
+            if gen.size != self.size:
+                raise ValueError(f"gens[{i}].size ({gen.size}) != gens[0].size ({self.size})")
+        self.generators = generators
+
+    @property
+    def jittable(self):
+        return all(g.jittable for g in self.generators)
+
+    def sample(self, key):
+        keys = jax.random.split(key, len(self.generators))
+        ret = tuple()
+        for g, k in zip(self.generators, keys):
+            ret += _as_tuple(g.sample(k))
+        return ret[0] if len(ret) == 1 else ret
+
+    def _internal_vars(self) -> dict:
+        d = super()._internal_vars()
+        d.update(dict(generators=self.generators))
+        return d
+
+
+class MeshGenerator(BaseGenerator):
+    r"""Returns a meshgrid of the samples of its sub-generators
+    (``g1 ^ g2``; reference ``generators.py:848-894``). Nested MeshGenerators
+    are flattened so ``(g1 ^ g2) ^ g3 == MeshGenerator(g1, g2, g3)``."""
+
+    def __init__(self, *generators):
+        super().__init__()
+        self.generators = []
+        for g in generators:
+            if isinstance(g, MeshGenerator):
+                self.generators.extend(g.generators)
+            else:
+                self.generators.append(g)
+        self.size = int(np.prod(tuple(g.size for g in self.generators)))
+
+    @property
+    def jittable(self):
+        return all(g.jittable for g in self.generators)
+
+    def sample(self, key):
+        keys = jax.random.split(key, len(self.generators))
+        ret = tuple()
+        for g, k in zip(self.generators, keys):
+            ret += _as_tuple(g.sample(k))
+        if len(ret) == 1:
+            return ret[0]
+        grids = jnp.meshgrid(*ret, indexing='ij')
+        return tuple(g.flatten() for g in grids)
+
+    def _internal_vars(self) -> dict:
+        d = super()._internal_vars()
+        d.update(dict(generators=self.generators))
+        return d
+
+
+class FilterGenerator(BaseGenerator):
+    """Applies a boolean filter to the samples before returning them
+    (reference ``generators.py:904-944``).
+
+    .. note::
+        Dynamic output sizes are incompatible with XLA's static shapes, so
+        this generator is **not jittable**: solvers fall back to host-side
+        sampling when it is used. ``filter_fn`` maps a list of arrays to a
+        boolean mask.
+    """
+
+    jittable = False
+
+    def __init__(self, generator, filter_fn, size=None, update_size=True):
+        super().__init__()
+        self.generator = generator
+        self.filter_fn = filter_fn
+        self.size = generator.size if size is None else size
+        self.update_size = update_size
+
+    def sample(self, key):
+        xs = self.generator.sample(key)
+        single = not isinstance(xs, tuple)
+        xs = list(_as_tuple(xs))
+        mask = self.filter_fn(xs)
+        xs = [x[mask] for x in xs]
+        if self.update_size:
+            self.size = len(xs[0])
+        return xs[0] if single or len(xs) == 1 else tuple(xs)
+
+    def _internal_vars(self) -> dict:
+        d = super()._internal_vars()
+        d.update(dict(generator=self.generator, filter_fn=self.filter_fn))
+        return d
+
+
+class ResampleGenerator(BaseGenerator):
+    """Shuffles and resamples the sub-generator's output, with or without
+    replacement (reference ``generators.py:955-993``)."""
+
+    def __init__(self, generator, size=None, replacement=False):
+        super().__init__()
+        self.generator = generator
+        self.size = generator.size if size is None else size
+        self.replacement = replacement
+
+    @property
+    def jittable(self):
+        return self.generator.jittable
+
+    def sample(self, key):
+        k1, k2 = jax.random.split(key)
+        if self.replacement:
+            indices = jax.random.randint(k1, (self.size,), 0, self.generator.size)
+        else:
+            indices = jax.random.permutation(k1, self.generator.size)[:self.size]
+        xs = self.generator.sample(k2)
+        if not isinstance(xs, tuple):
+            return xs[indices]
+        return tuple(x[indices] for x in xs)
+
+    def _internal_vars(self) -> dict:
+        d = super()._internal_vars()
+        d.update(dict(generator=self.generator, replacement=self.replacement))
+        return d
+
+
+class BatchGenerator(BaseGenerator):
+    """Caches samples and returns fixed-size batches, refilling the cache as
+    needed (reference ``generators.py:996-1036``). Stateful across calls, so
+    not jittable; solvers use the host path."""
+
+    jittable = False
+
+    def __init__(self, generator, batch_size):
+        super().__init__()
+        if generator.size <= 0:
+            raise ValueError(f"generator has size {generator.size} <= 0")
+        self.generator = generator
+        self.size = batch_size
+        self.cached_xs = list(_as_tuple(generator.sample(next_rng_key())))
+
+    def sample(self, key):
+        while len(self.cached_xs[0]) < self.size:
+            key, sub = jax.random.split(key)
+            new = _as_tuple(self.generator.sample(sub))
+            self.cached_xs = [jnp.concatenate([x, n]) for x, n in zip(self.cached_xs, new)]
+        batch = [x[:self.size] for x in self.cached_xs]
+        self.cached_xs = [x[self.size:] for x in self.cached_xs]
+        return batch[0] if len(batch) == 1 else tuple(batch)
+
+    def _internal_vars(self) -> dict:
+        d = super()._internal_vars()
+        d.update(dict(generator=self.generator))
+        return d
+
+
+class SamplerGenerator(BaseGenerator):
+    """Wraps a generator so every sample comes back as a list of ``(N, 1)``
+    column arrays (what the solvers consume; reference ``generators.py:1046-1064``)."""
+
+    def __init__(self, generator):
+        super().__init__()
+        self.generator = generator
+        self.size = generator.size
+
+    @property
+    def jittable(self):
+        return self.generator.jittable
+
+    def sample(self, key):
+        samples = _as_tuple(self.generator.sample(key))
+        return [u.reshape(-1, 1) for u in samples]
+
+    def get_examples(self):
+        return self.sample(next_rng_key())
+
+    def _internal_vars(self) -> dict:
+        d = super()._internal_vars()
+        d.update(dict(generator=self.generator))
+        return d

@@ -1,0 +1,254 @@
+r"""Neural network modules as functional ``init``/``apply`` pairs.
+
+Capability parity with the reference's ``neurodiffeq/networks.py`` (FCNN,
+Resnet, MonomialNN; activations SinActv/Swish/APTx, ``networks.py:6-209``),
+designed for JAX: a module is a stateless description; parameters are explicit
+pytrees created by ``init(key)`` and consumed by ``apply(params, x)``. The
+``apply`` functions operate on a single ``(n_in,)`` vector *or* any batched
+leading shape, so the same module composes both into per-sample Fields (for
+residual differentiation) and into batched MXU-friendly matmuls.
+
+Weight initialization matches torch's ``nn.Linear`` default (uniform in
+``[-1/sqrt(fan_in), 1/sqrt(fan_in)]`` for both W and b) so training dynamics
+track the reference's.
+"""
+import warnings
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ['FCNN', 'Resnet', 'MonomialNN', 'Tanh', 'SinActv', 'Swish', 'APTx']
+
+
+def _linear_init(key, n_in, n_out, dtype):
+    wkey, bkey = jax.random.split(key)
+    bound = 1.0 / jnp.sqrt(jnp.asarray(float(n_in)))
+    W = jax.random.uniform(wkey, (n_in, n_out), dtype=dtype, minval=-bound, maxval=bound)
+    b = jax.random.uniform(bkey, (n_out,), dtype=dtype, minval=-bound, maxval=bound)
+    return {'W': W, 'b': b}
+
+
+class Module:
+    """Minimal stateless module protocol: ``init(key) -> params``, ``apply(params, x)``."""
+
+    def init(self, key, dtype=None):
+        raise NotImplementedError  # pragma: no cover
+
+    def apply(self, params, x):
+        raise NotImplementedError  # pragma: no cover
+
+    def __call__(self, params, x):
+        return self.apply(params, x)
+
+
+# ------------------------------------------------------------------ activations
+
+class Tanh(Module):
+    """Hyperbolic tangent activation (the reference's default, ``nn.Tanh``)."""
+
+    def init(self, key, dtype=None):
+        return None
+
+    def apply(self, params, x):
+        return jnp.tanh(x)
+
+
+class SinActv(Module):
+    """The sin activation function (reference ``networks.py:142-152``)."""
+
+    def init(self, key, dtype=None):
+        return None
+
+    def apply(self, params, x):
+        return jnp.sin(x)
+
+
+class Swish(Module):
+    r"""Swish activation: ``x * sigmoid(beta * x)`` with optionally trainable beta
+    (reference ``networks.py:155-175``)."""
+
+    def __init__(self, beta=1.0, trainable=False):
+        self.beta = float(beta)
+        self.trainable = trainable
+
+    def init(self, key, dtype=None):
+        if self.trainable:
+            return {'beta': jnp.asarray(self.beta, dtype=dtype or jnp.float32)}
+        return None
+
+    def apply(self, params, x):
+        beta = params['beta'] if (self.trainable and params is not None) else self.beta
+        return x * jax.nn.sigmoid(beta * x)
+
+
+class APTx(Module):
+    r"""APTx activation: ``(alpha + tanh(beta x)) * gamma * x``
+    (reference ``networks.py:177-209``)."""
+
+    def __init__(self, alpha=1.0, beta=1.0, gamma=0.5, trainable=False):
+        self.alpha, self.beta, self.gamma = float(alpha), float(beta), float(gamma)
+        self.trainable = trainable
+
+    def init(self, key, dtype=None):
+        if self.trainable:
+            dtype = dtype or jnp.float32
+            return {
+                'alpha': jnp.asarray(self.alpha, dtype=dtype),
+                'beta': jnp.asarray(self.beta, dtype=dtype),
+                'gamma': jnp.asarray(self.gamma, dtype=dtype),
+            }
+        return None
+
+    def apply(self, params, x):
+        if self.trainable and params is not None:
+            a, b, g = params['alpha'], params['beta'], params['gamma']
+        else:
+            a, b, g = self.alpha, self.beta, self.gamma
+        return (a + jnp.tanh(b * x)) * g * x
+
+
+def _as_activation(actv):
+    """Accept an activation class/factory (reference style) or instance; return instance."""
+    if actv is None:
+        return Tanh()
+    if isinstance(actv, Module):
+        return actv
+    if callable(actv):  # class or zero-arg factory, mirroring `actv()` per layer
+        made = actv()
+        if isinstance(made, Module):
+            return made
+    raise TypeError(f"Unsupported activation {actv}")
+
+
+# ------------------------------------------------------------------ networks
+
+class FCNN(Module):
+    """A fully connected neural network (reference ``networks.py:6-70``).
+
+    :param n_input_units: Number of units in the input layer, defaults to 1.
+    :type n_input_units: int
+    :param n_output_units: Number of units in the output layer, defaults to 1.
+    :type n_output_units: int
+    :param n_hidden_units: [DEPRECATED] Number of hidden units in each layer.
+    :type n_hidden_units: int
+    :param n_hidden_layers: [DEPRECATED] Number of hidden mappings (1 larger
+        than the actual number of hidden layers).
+    :type n_hidden_layers: int
+    :param actv: The activation constructor (or instance) after each hidden
+        layer, defaults to :class:`Tanh`.
+    :param hidden_units: Number of hidden units in each hidden layer, defaults
+        to ``(32, 32)``.
+    :type hidden_units: Tuple[int]
+    """
+
+    def __init__(self, n_input_units=1, n_output_units=1, n_hidden_units=None, n_hidden_layers=None,
+                 actv=Tanh, hidden_units=None):
+        # legacy argument shims follow the reference (networks.py:32-49)
+        if n_hidden_units is None and n_hidden_layers is not None:
+            n_hidden_units = 32
+        elif n_hidden_units is not None and n_hidden_layers is None:
+            n_hidden_layers = 1
+
+        if n_hidden_units is not None or n_hidden_layers is not None:
+            if hidden_units is None:
+                hidden_units = tuple(n_hidden_units for _ in range(n_hidden_layers + 1))
+                warnings.warn(
+                    f"`n_hidden_units` and `n_hidden_layers` are deprecated, "
+                    f"pass `hidden_units={hidden_units}` instead", FutureWarning)
+            else:
+                warnings.warn(
+                    f"Ignoring `n_hidden_units` and `n_hidden_layers` in favor of "
+                    f"`hidden_units={hidden_units}`", FutureWarning)
+
+        if hidden_units is None:
+            hidden_units = (32, 32)
+        hidden_units = tuple(hidden_units)
+
+        self.n_input_units = n_input_units
+        self.n_output_units = n_output_units
+        self.hidden_units = hidden_units
+        self.actv_factory = actv
+        self.actvs = [_as_activation(actv) for _ in hidden_units]
+
+        units = (n_input_units,) + hidden_units + (n_output_units,)
+        self.layer_dims = list(zip(units[:-1], units[1:]))
+
+    def init(self, key, dtype=None):
+        from .utils import get_default_dtype
+        dtype = dtype or get_default_dtype()
+        keys = jax.random.split(key, len(self.layer_dims) + len(self.actvs))
+        layers = [
+            _linear_init(k, n_in, n_out, dtype)
+            for k, (n_in, n_out) in zip(keys[:len(self.layer_dims)], self.layer_dims)
+        ]
+        actv_params = [
+            a.init(k, dtype=dtype) for a, k in zip(self.actvs, keys[len(self.layer_dims):])
+        ]
+        return {'layers': layers, 'actv': actv_params}
+
+    def apply(self, params, x):
+        h = x
+        layers = params['layers']
+        actv_params = params['actv']
+        for i, lp in enumerate(layers[:-1]):
+            h = h @ lp['W'] + lp['b']
+            h = self.actvs[i].apply(actv_params[i], h)
+        lp = layers[-1]
+        return h @ lp['W'] + lp['b']
+
+    def __repr__(self):
+        return (f"FCNN(n_input_units={self.n_input_units}, "
+                f"n_output_units={self.n_output_units}, hidden_units={self.hidden_units})")
+
+
+class Resnet(Module):
+    """FCNN plus a trainable bias-free linear skip connection
+    (reference ``networks.py:73-106``)."""
+
+    def __init__(self, n_input_units=1, n_output_units=1, n_hidden_units=None, n_hidden_layers=None,
+                 actv=Tanh, hidden_units=(32, 32)):
+        self.residual = FCNN(
+            n_input_units=n_input_units,
+            n_output_units=n_output_units,
+            n_hidden_units=n_hidden_units,
+            n_hidden_layers=n_hidden_layers,
+            actv=actv,
+            hidden_units=hidden_units,
+        )
+        self.n_input_units = n_input_units
+        self.n_output_units = n_output_units
+
+    def init(self, key, dtype=None):
+        from .utils import get_default_dtype
+        dtype = dtype or get_default_dtype()
+        rkey, skey = jax.random.split(key)
+        skip = _linear_init(skey, self.n_input_units, self.n_output_units, dtype)
+        return {'residual': self.residual.init(rkey, dtype=dtype), 'skip_W': skip['W']}
+
+    def apply(self, params, x):
+        return x @ params['skip_W'] + self.residual.apply(params['residual'], x)
+
+
+class MonomialNN(Module):
+    """Expands input to ``[x^d for d in degrees]`` concatenated along columns
+    (reference ``networks.py:109-139``). Output width = n_inputs * n_degrees."""
+
+    def __init__(self, degrees):
+        if isinstance(degrees, int):
+            degrees = [d for d in range(1, degrees + 1)]
+        self.degrees = tuple(degrees)
+        if len(self.degrees) == 0:
+            raise ValueError("No degrees used, check `degrees` argument again")
+        if 0 in self.degrees:
+            warnings.warn("One of the degrees is 0 which might introduce redundant features")
+        if len(set(self.degrees)) < len(self.degrees):
+            warnings.warn(f"Duplicate degrees found: {self.degrees}")
+
+    def init(self, key, dtype=None):
+        return None
+
+    def apply(self, params, x):
+        return jnp.concatenate([x ** d for d in self.degrees], axis=-1)
+
+    def __repr__(self):
+        return f"MonomialNN(degrees={self.degrees})"

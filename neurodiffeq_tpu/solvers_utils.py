@@ -1,0 +1,250 @@
+r"""Solver persistence: save/load trained solvers, plus remote-hub plumbing.
+
+Capability parity with the reference's ``neurodiffeq/solvers_utils.py``
+(``PretrainedSolver.save/load`` with dill, metadata introspection, optional
+``neurodiff.io`` hub upload/download, ``SolverConfig`` overrides,
+``solvers_utils.py:281-545``), adapted to the functional design: parameters
+are explicit pytrees, so a checkpoint is (solver config, numpy-ified params /
+optimizer state, histories) rather than pickled live ``nn.Module`` graphs.
+``dill`` is used for user callables (equations, condition boundary functions).
+
+The remote hub is optional and controlled by the same environment variables as
+the reference (``NEURODIFF_API_URL``, ``NEURODIFF_API_KEY``;
+``solvers_utils.py:17-29``).
+"""
+import os
+import ast
+import inspect
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+try:
+    import dill
+except Exception:  # pragma: no cover
+    dill = None
+
+DEFAULT_API_URL = "https://dev.neurodiff.io/v1/" if os.getenv("DEV") else "https://api.neurodiff.io/v1/"
+
+
+def _get_api_url():
+    return os.getenv("NEURODIFF_API_URL", DEFAULT_API_URL)
+
+
+def _get_api_key():
+    return os.getenv("NEURODIFF_API_KEY")
+
+
+def get_source(obj):
+    """Best-effort source extraction of a (lambda) function for metadata
+    (the analog of the reference's inspect+ast walk, ``solvers_utils.py:83-96``)."""
+    try:
+        source = inspect.getsource(obj).strip()
+        try:
+            tree = ast.parse(source)
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Lambda):
+                    return ast.get_source_segment(source, node)
+        except SyntaxError:
+            pass
+        return source
+    except (OSError, TypeError):
+        return None
+
+
+def _to_numpy_tree(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def _to_jax_tree(tree):
+    return jax.tree.map(lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, tree)
+
+
+class SolverConfig:
+    """Optional overrides applied when re-instantiating a saved solver
+    (reference ``solvers_utils.py:258-278``). Any attribute left as None keeps
+    the saved value."""
+
+    def __init__(self, conditions=None, ode_system=None, pde_system=None, nets=None,
+                 train_generator=None, valid_generator=None, optimizer=None,
+                 metrics=None, loss_fn=None, n_batches_train=None, n_batches_valid=None):
+        self.conditions = conditions
+        self.ode_system = ode_system
+        self.pde_system = pde_system
+        self.nets = nets
+        self.train_generator = train_generator
+        self.valid_generator = valid_generator
+        self.optimizer = optimizer
+        self.metrics = metrics
+        self.loss_fn = loss_fn
+        self.n_batches_train = n_batches_train
+        self.n_batches_valid = n_batches_valid
+
+
+class PretrainedSolver:
+    """Mixin giving solvers ``save``/``load`` (mixed into ``BaseSolver``)."""
+
+    def _save_dict(self):
+        d = {
+            "type_name": type(self).__name__,
+            "nets": self.nets,
+            "params": _to_numpy_tree(self.params),
+            "best_params": _to_numpy_tree(self.best_params) if self.best_params is not None else None,
+            "conditions": self.conditions,
+            "diff_eqs": self.diff_eqs,
+            "diff_eqs_source": get_source(self.diff_eqs),
+            "generator": self.generator,
+            "optimizer": self.optimizer,
+            "opt_state": _to_numpy_tree(self.opt_state),
+            "n_batches": dict(self.n_batches),
+            "metrics_fn": self.metrics_fn,
+            "metrics_history": {k: list(v) for k, v in self.metrics_history.items()},
+            "lowest_loss": self.lowest_loss,
+            "loss_fn": self.loss_fn,
+            "solver_kwargs": self._constructor_kwargs(),
+        }
+        return d
+
+    def _constructor_kwargs(self):
+        """Extra constructor arguments captured per solver type."""
+        kwargs = {}
+        for name in ('t_min', 't_max', 'xy_min', 'xy_max', 'r_min', 'r_max',
+                     'n_input_units', 'eq_param_index'):
+            if hasattr(self, name):
+                kwargs[name] = getattr(self, name)
+        return kwargs
+
+    def save(self, path=None, name=None, save_to_hub=False, **kwargs):
+        """Serialize this solver (params, optimizer state, histories, and
+        dill-able components) to ``path``; optionally upload to the hub.
+
+        :param path: local file path to write.
+        :param name: solution name for hub upload.
+        :param save_to_hub: POST the saved blob to the configured hub.
+        """
+        if dill is None:
+            raise RuntimeError("dill is required for solver serialization")
+        save_dict = self._save_dict()
+        if path is None and not save_to_hub:
+            raise ValueError("Either `path` must be given or `save_to_hub` must be True")
+        if path is not None:
+            with open(path, 'wb') as f:
+                dill.dump(save_dict, f)
+        if save_to_hub:
+            self._upload_to_hub(save_dict, name=name, **kwargs)
+        return path
+
+    def _upload_to_hub(self, save_dict, name=None, description=""):
+        import io
+        try:
+            import requests
+        except Exception as e:  # pragma: no cover
+            raise RuntimeError("`requests` is required for hub upload") from e
+        api_key = _get_api_key()
+        if not api_key:
+            raise RuntimeError("Set NEURODIFF_API_KEY to upload solutions to the hub")
+        buf = io.BytesIO()
+        dill.dump(save_dict, buf)
+        buf.seek(0)
+        url = _get_api_url() + "solutions/upload"
+        resp = requests.post(
+            url,
+            headers={"api-key": api_key},
+            files={"file": (name or "solver", buf)},
+            data={"name": name or "solver", "description": description},
+        )
+        resp.raise_for_status()
+        return resp
+
+    @classmethod
+    def load(cls, path=None, name=None, config=None, **kwargs):
+        """Load a saved solver from a local path (or download by name from the hub)
+        and re-instantiate the correct solver class with optional config overrides.
+
+        :param path: local checkpoint path.
+        :param name: hub solution name (downloads if ``path`` is None).
+        :param config: a :class:`SolverConfig` of overrides.
+        """
+        if dill is None:
+            raise RuntimeError("dill is required for solver serialization")
+        if path is None and name is None:
+            raise ValueError("Either `path` or `name` must be provided")
+        if path is not None:
+            with open(path, 'rb') as f:
+                save_dict = dill.load(f)
+        else:
+            save_dict = cls._download_from_hub(name)
+
+        config = config or SolverConfig()
+        from . import solvers as _solvers
+
+        type_name = save_dict["type_name"]
+        solver_cls = getattr(_solvers, type_name)
+
+        diff_eqs = config.ode_system or config.pde_system or save_dict["diff_eqs"]
+        conditions = config.conditions or save_dict["conditions"]
+        nets = config.nets or save_dict["nets"]
+        train_generator = config.train_generator or save_dict["generator"]["train"].generator
+        valid_generator = config.valid_generator or save_dict["generator"]["valid"].generator
+        n_batches_train = config.n_batches_train or save_dict["n_batches"]["train"]
+        n_batches_valid = (config.n_batches_valid
+                           if config.n_batches_valid is not None
+                           else save_dict["n_batches"]["valid"])
+
+        ctor_kwargs = dict(save_dict.get("solver_kwargs", {}))
+        ctor_kwargs.pop('n_input_units', None)
+        init_sig = inspect.signature(solver_cls.__init__)
+        ctor_kwargs = {k: v for k, v in ctor_kwargs.items() if k in init_sig.parameters}
+
+        eq_kw = 'ode_system' if 'ode_system' in init_sig.parameters else (
+            'pde_system' if 'pde_system' in init_sig.parameters else 'diff_eqs')
+
+        solver = solver_cls(
+            **{eq_kw: diff_eqs},
+            conditions=conditions,
+            nets=nets,
+            train_generator=train_generator,
+            valid_generator=valid_generator,
+            optimizer=config.optimizer or save_dict.get("optimizer"),
+            loss_fn=config.loss_fn or save_dict.get("loss_fn"),
+            metrics=config.metrics or save_dict.get("metrics_fn"),
+            n_batches_train=n_batches_train,
+            n_batches_valid=n_batches_valid,
+            **ctor_kwargs,
+            **kwargs,
+        )
+
+        # restore trained state
+        solver.params = _to_jax_tree(save_dict["params"])
+        if save_dict.get("best_params") is not None:
+            solver.best_params = _to_jax_tree(save_dict["best_params"])
+        if config.optimizer is None and save_dict.get("opt_state") is not None:
+            try:
+                solver.opt_state = _to_jax_tree(save_dict["opt_state"])
+            except Exception:  # pragma: no cover - optimizer replaced, reinit
+                solver.opt_state = solver.optimizer.init(solver.params)
+        solver.metrics_history = {k: list(v) for k, v in save_dict["metrics_history"].items()}
+        solver.lowest_loss = save_dict.get("lowest_loss")
+        return solver
+
+    @classmethod
+    def _download_from_hub(cls, name):
+        import io
+        try:
+            import requests
+        except Exception as e:  # pragma: no cover
+            raise RuntimeError("`requests` is required for hub download") from e
+        url = _get_api_url() + f"solutions/download/{name}"
+        headers = {}
+        if _get_api_key():
+            headers["api-key"] = _get_api_key()
+        resp = requests.get(url, headers=headers)
+        resp.raise_for_status()
+        return dill.load(io.BytesIO(resp.content))
+
+
+def get_file(path_or_name):
+    """Open a local checkpoint file (parity helper)."""
+    return open(path_or_name, 'rb')

@@ -1,0 +1,369 @@
+"""Exact-constraint tests: every condition must satisfy its BCs/ICs EXACTLY
+with an untrained random network (the reference's most important invariant,
+tests/test_conditions.py)."""
+import numpy as np
+import pytest
+import jax
+
+from neurodiffeq_tpu import fields as F
+from neurodiffeq_tpu.fields import diff
+from neurodiffeq_tpu.networks import FCNN
+from neurodiffeq_tpu import conditions as C
+
+N = 64
+ATOL = 1e-8
+
+x0, x1 = np.random.rand() + 0.5, np.random.rand() + 2.5
+y0, y1 = np.random.rand() + 0.5, np.random.rand() + 2.5
+ones = np.ones(N)
+
+
+def _net(n_in, n_out=1, seed=0):
+    net = FCNN(n_input_units=n_in, n_output_units=n_out, hidden_units=(8, 8))
+    return net, net.init(jax.random.PRNGKey(seed))
+
+
+def test_no_condition():
+    net, params = _net(2)
+    x, y = F.coordinates(np.random.rand(N), np.random.rand(N))
+    u = C.NoCondition().enforce(net, params, x, y)
+    raw = F.network_field(lambda xs: net.apply(params, xs), (x, y))
+    assert np.allclose(u.value, raw.value)
+
+
+def test_ivp_dirichlet():
+    net, params = _net(1)
+    t0, u0 = 0.3, 1.7
+    cond = C.IVP(t_0=t0, u_0=u0)
+    t, = F.coordinates(t0 * ones)
+    u = cond.enforce(net, params, t)
+    assert np.allclose(u.value, u0, atol=ATOL)
+
+
+def test_ivp_neumann():
+    net, params = _net(1)
+    t0, u0, u0p = 0.3, 1.7, -0.4
+    cond = C.IVP(t_0=t0, u_0=u0, u_0_prime=u0p)
+    t, = F.coordinates(t0 * ones)
+    u = cond.enforce(net, params, t)
+    assert np.allclose(u.value, u0, atol=ATOL)
+    assert np.allclose(diff(u, t).value, u0p, atol=ATOL)
+
+
+def test_dirichlet_bvp():
+    net, params = _net(1)
+    u0, u1 = 1.1, -0.7
+    cond = C.DirichletBVP(t_0=x0, u_0=u0, t_1=x1, u_1=u1)
+    t, = F.coordinates(x0 * ones)
+    assert np.allclose(cond.enforce(net, params, t).value, u0, atol=ATOL)
+    t, = F.coordinates(x1 * ones)
+    assert np.allclose(cond.enforce(net, params, t).value, u1, atol=ATOL)
+
+
+def test_dirichlet_bvp_2d():
+    net, params = _net(2)
+    f0 = lambda y: F.sin(y)
+    f1 = lambda y: y ** 2
+    g0 = lambda x: F.cos(x)
+    g1 = lambda x: x * 0.5
+    # boundary functions must agree at corners for exactness: use compatible fns
+    # here we use the standard construction which interpolates despite corners
+    cond = C.DirichletBVP2D(
+        x_min=0.0, x_min_val=f0, x_max=1.0, x_max_val=f1,
+        y_min=0.0, y_min_val=g0, y_max=1.0, y_max_val=g1,
+    )
+    ys = np.random.rand(N)
+    x, y = F.coordinates(0.0 * ones, ys)
+    u = cond.enforce(net, params, x, y)
+    expected = (np.sin(ys) + (1 - ys) * (np.cos(0) - np.sin(0)) + ys * (0.0 - np.sin(1)))
+    # at x=x0: u = f0(y) + (1-ỹ)(g0(x0) - f0(y0_interp)) ... the construction
+    # guarantees exactness only when corners are compatible; instead verify
+    # invariance: value must not depend on the network
+    net2, params2 = _net(2, seed=99)
+    u2 = cond.enforce(net2, params2, x, y)
+    assert np.allclose(u.value, u2.value, atol=ATOL)
+    # and on all 4 edges the value is independent of the net
+    for (xs_, ys_) in [(ones * 1.0, ys), (np.random.rand(N), 0.0 * ones), (np.random.rand(N), ones * 1.0)]:
+        x, y = F.coordinates(xs_, ys_)
+        a = cond.enforce(net, params, x, y)
+        b = cond.enforce(net2, params2, x, y)
+        assert np.allclose(a.value, b.value, atol=ATOL)
+
+
+def test_dirichlet_bvp_2d_exact_with_compatible_corners():
+    net, params = _net(2)
+    # classic Laplace problem boundary: u(x,0)=sin(pi x), zero elsewhere
+    cond = C.DirichletBVP2D(
+        x_min=0.0, x_min_val=lambda y: 0 * y,
+        x_max=1.0, x_max_val=lambda y: 0 * y,
+        y_min=0.0, y_min_val=lambda x: F.sin(np.pi * x),
+        y_max=1.0, y_max_val=lambda x: 0 * x,
+    )
+    xs = np.random.rand(N)
+    x, y = F.coordinates(xs, 0.0 * ones)
+    assert np.allclose(cond.enforce(net, params, x, y).value[:, 0], np.sin(np.pi * xs), atol=ATOL)
+    x, y = F.coordinates(xs, ones)
+    assert np.allclose(cond.enforce(net, params, x, y).value, 0.0, atol=ATOL)
+    x, y = F.coordinates(0.0 * ones, np.random.rand(N))
+    assert np.allclose(cond.enforce(net, params, x, y).value, 0.0, atol=ATOL)
+    x, y = F.coordinates(ones, np.random.rand(N))
+    assert np.allclose(cond.enforce(net, params, x, y).value, 0.0, atol=ATOL)
+
+
+@pytest.mark.parametrize("bc", ['dd', 'dn', 'nd', 'nn'])
+def test_ibvp_1d(bc):
+    net, params = _net(2)
+    t_min = 0.1
+    u0fn = lambda x: x ** 2  # noqa: E731
+    g = lambda t: F.cos(t)  # Dirichlet left  # noqa: E731
+    h = lambda t: F.sin(t) + 1  # Dirichlet right  # noqa: E731
+    p = lambda t: t * 0.3  # Neumann left  # noqa: E731
+    q = lambda t: -t * 0.2  # Neumann right  # noqa: E731
+
+    # initial conditions must be compatible at the boundary anchors:
+    # reference uses A(x,t) construction where IC term u_0(x) appears raw, so
+    # compatibility means g(t0)=u0(x0) etc. The construction subtracts g(t0),
+    # so exactness of the IC holds everywhere and BCs hold up to IC consistency.
+    kwargs = dict(x_min=x0, x_max=x1, t_min=t_min, t_min_val=u0fn)
+    if bc == 'dd':
+        kwargs.update(x_min_val=g, x_max_val=h)
+    elif bc == 'dn':
+        kwargs.update(x_min_val=g, x_max_prime=q)
+    elif bc == 'nd':
+        kwargs.update(x_min_prime=p, x_max_val=h)
+    else:
+        kwargs.update(x_min_prime=p, x_max_prime=q)
+    cond = C.IBVP1D(**kwargs)
+
+    # initial condition: u(x, t0) = u0(x) + (bc-term at t0 vanishes)
+    xs = np.random.rand(N) * (x1 - x0) + x0
+    x, t = F.coordinates(xs, t_min * ones)
+    u = cond.enforce(net, params, x, t)
+    if bc == 'dd':
+        expected = u0fn(xs)
+    elif bc == 'dn':
+        expected = u0fn(xs)
+    elif bc == 'nd':
+        expected = u0fn(xs)
+    else:
+        expected = u0fn(xs)
+    assert np.allclose(u.value[:, 0], expected, atol=1e-7)
+
+    ts = np.random.rand(N) + t_min
+    t0c = t_min * ones
+
+    def val(fn, arr):
+        out = fn(F.coordinates(arr)[0])
+        return np.asarray(out.value)[:, 0] if isinstance(out, F.Field) else np.asarray(arr) * 0 + out
+
+    if bc in ('dd', 'dn'):
+        # Dirichlet left: u(x0, t) = u0(x0) + g(t) - g(t0)
+        x, t = F.coordinates(x0 * ones, ts)
+        u = cond.enforce(net, params, x, t)
+        expected = u0fn(x0) + val(g, ts) - val(g, t0c)
+        assert np.allclose(u.value[:, 0], expected, atol=1e-7)
+    if bc in ('dd', 'nd'):
+        # Dirichlet right: u(x1, t) = u0(x1) + h(t) - h(t0)
+        x, t = F.coordinates(x1 * ones, ts)
+        u = cond.enforce(net, params, x, t)
+        expected = u0fn(x1) + val(h, ts) - val(h, t0c)
+        assert np.allclose(u.value[:, 0], expected, atol=1e-7)
+    if bc in ('nd', 'nn'):
+        # Neumann left: u_x(x0, t) = u0'(x0) + p(t) - p(t0)
+        x, t = F.coordinates(x0 * ones, ts)
+        u = cond.enforce(net, params, x, t)
+        expected = 2 * x0 + val(p, ts) - val(p, t0c)
+        assert np.allclose(diff(u, x).value[:, 0], expected, atol=1e-6)
+    if bc in ('dn', 'nn'):
+        # Neumann right: u_x(x1, t) = u0'(x1) + q(t) - q(t0)
+        x, t = F.coordinates(x1 * ones, ts)
+        u = cond.enforce(net, params, x, t)
+        expected = 2 * x1 + val(q, ts) - val(q, t0c)
+        assert np.allclose(diff(u, x).value[:, 0], expected, atol=1e-6)
+
+
+@pytest.mark.parametrize("bc", ['dd', 'dn', 'nd', 'nn'])
+def test_double_ended_bvp_1d(bc):
+    net, params = _net(1)
+    u0, u1 = 0.7, -0.3
+    u0p, u1p = 0.4, -0.9
+    kwargs = dict(x_min=x0, x_max=x1)
+    if bc == 'dd':
+        kwargs.update(x_min_val=u0, x_max_val=u1)
+    elif bc == 'dn':
+        kwargs.update(x_min_val=u0, x_max_prime=u1p)
+    elif bc == 'nd':
+        kwargs.update(x_min_prime=u0p, x_max_val=u1)
+    else:
+        kwargs.update(x_min_prime=u0p, x_max_prime=u1p)
+    cond = C.DoubleEndedBVP1D(**kwargs)
+
+    if bc in ('dd', 'dn'):
+        x, = F.coordinates(x0 * ones)
+        assert np.allclose(cond.enforce(net, params, x).value, u0, atol=ATOL)
+    if bc in ('dd', 'nd'):
+        x, = F.coordinates(x1 * ones)
+        assert np.allclose(cond.enforce(net, params, x).value, u1, atol=ATOL)
+    if bc in ('nd', 'nn'):
+        x, = F.coordinates(x0 * ones)
+        u = cond.enforce(net, params, x)
+        assert np.allclose(diff(u, x).value, u0p, atol=1e-6)
+    if bc in ('dn', 'nn'):
+        x, = F.coordinates(x1 * ones)
+        u = cond.enforce(net, params, x)
+        assert np.allclose(diff(u, x).value, u1p, atol=1e-6)
+
+
+def test_dirichlet_bvp_spherical():
+    net, params = _net(3)
+    r0, r1 = 0.5, 2.0
+    f = lambda th, ph: F.sin(th) * F.cos(ph)  # noqa: E731
+    g = lambda th, ph: F.cos(th) + ph * 0.1  # noqa: E731
+    cond = C.DirichletBVPSpherical(r_0=r0, f=f, r_1=r1, g=g)
+
+    th = np.random.rand(N) * np.pi
+    ph = np.random.rand(N) * 2 * np.pi
+    r, theta, phi = F.coordinates(r0 * ones, th, ph)
+    u = cond.enforce(net, params, r, theta, phi)
+    assert np.allclose(u.value[:, 0], np.sin(th) * np.cos(ph), atol=ATOL)
+    r, theta, phi = F.coordinates(r1 * ones, th, ph)
+    u = cond.enforce(net, params, r, theta, phi)
+    assert np.allclose(u.value[:, 0], np.cos(th) + ph * 0.1, atol=ATOL)
+
+    # single-boundary variant
+    cond = C.DirichletBVPSpherical(r_0=r0, f=f)
+    r, theta, phi = F.coordinates(r0 * ones, th, ph)
+    u = cond.enforce(net, params, r, theta, phi)
+    assert np.allclose(u.value[:, 0], np.sin(th) * np.cos(ph), atol=ATOL)
+
+
+def test_inf_dirichlet_bvp_spherical():
+    net, params = _net(3)
+    r0 = 0.5
+    f = lambda th, ph: F.sin(th)  # noqa: E731
+    g = lambda th, ph: F.cos(th)  # noqa: E731
+    cond = C.InfDirichletBVPSpherical(r_0=r0, f=f, g=g, order=1)
+    th = np.random.rand(N) * np.pi
+    ph = np.random.rand(N) * 2 * np.pi
+    r, theta, phi = F.coordinates(r0 * ones, th, ph)
+    u = cond.enforce(net, params, r, theta, phi)
+    assert np.allclose(u.value[:, 0], np.sin(th), atol=ATOL)
+    # large-r limit -> g
+    r, theta, phi = F.coordinates(1e4 * ones, th, ph)
+    u = cond.enforce(net, params, r, theta, phi)
+    assert np.allclose(u.value[:, 0], np.cos(th), atol=1e-5)
+
+
+def test_dirichlet_bvp_spherical_basis():
+    K = 9
+    net, params = _net(1, n_out=K)
+    r0, r1 = 0.5, 2.0
+    R0 = np.random.rand(K)
+    R1 = np.random.rand(K)
+    cond = C.DirichletBVPSphericalBasis(r_0=r0, R_0=R0, r_1=r1, R_1=R1)
+    r, = F.coordinates(r0 * ones)
+    u = cond.enforce(net, params, r)
+    assert u.shape == (N, K)
+    assert np.allclose(u.value, R0[None, :], atol=ATOL)
+    r, = F.coordinates(r1 * ones)
+    assert np.allclose(cond.enforce(net, params, r).value, R1[None, :], atol=ATOL)
+
+
+def test_inf_dirichlet_bvp_spherical_basis():
+    K = 4
+    net, params = _net(1, n_out=K)
+    r0 = 0.5
+    R0, Rinf = np.random.rand(K), np.random.rand(K)
+    cond = C.InfDirichletBVPSphericalBasis(r_0=r0, R_0=R0, R_inf=Rinf)
+    r, = F.coordinates(r0 * ones)
+    assert np.allclose(cond.enforce(net, params, r).value, R0[None, :], atol=ATOL)
+    r, = F.coordinates(1e4 * ones)
+    assert np.allclose(cond.enforce(net, params, r).value, Rinf[None, :], atol=1e-5)
+
+
+def test_bundle_ivp_fixed_and_sampled():
+    # fixed params: behaves like IVP
+    net, params = _net(2)
+    cond = C.BundleIVP(t_0=0.2, u_0=1.5)
+    t, th1 = F.coordinates(0.2 * ones, np.random.rand(N))
+    u = cond.enforce(net, params, t, th1)
+    assert np.allclose(u.value, 1.5, atol=ATOL)
+
+    # u_0 sampled from theta column
+    cond = C.BundleIVP(t_0=0.2, bundle_param_lookup={'u_0': 0})
+    u0s = np.random.rand(N)
+    t, th1 = F.coordinates(0.2 * ones, u0s)
+    u = cond.enforce(net, params, t, th1)
+    assert np.allclose(u.value[:, 0], u0s, atol=ATOL)
+
+    # t_0 sampled (polynomial branch)
+    cond = C.BundleIVP(u_0=2.0, bundle_param_lookup={'t_0': 0})
+    t0s = np.random.rand(N)
+    t, th1 = F.coordinates(t0s, t0s)
+    u = cond.enforce(net, params, t, th1)
+    assert np.allclose(u.value, 2.0, atol=ATOL)
+
+
+def test_bundle_ivp_neumann_sampled():
+    net, params = _net(3)
+    cond = C.BundleIVP(t_0=0.1, u_0=None, bundle_param_lookup={'u_0': 0, 'u_0_prime': 1})
+    u0s = np.random.rand(N)
+    u0ps = np.random.rand(N)
+    t, a, b = F.coordinates(0.1 * ones, u0s, u0ps)
+    u = cond.enforce(net, params, t, a, b)
+    assert np.allclose(u.value[:, 0], u0s, atol=ATOL)
+    assert np.allclose(diff(u, t).value[:, 0], u0ps, atol=1e-6)
+
+
+def test_bundle_dirichlet_bvp():
+    net, params = _net(2)
+    cond = C.BundleDirichletBVP(t_0=0., u_0=1., t_1=1., u_1=-1., bundle_param_lookup={'u_0': 0})
+    u0s = np.random.rand(N)
+    t, th = F.coordinates(0.0 * ones, u0s)
+    assert np.allclose(cond.enforce(net, params, t, th).value[:, 0], u0s, atol=ATOL)
+    t, th = F.coordinates(ones, u0s)
+    assert np.allclose(cond.enforce(net, params, t, th).value, -1., atol=ATOL)
+
+
+def test_bundle_param_validation():
+    with pytest.raises(ValueError):
+        C.BundleIVP(t_0=0, u_0=1, bundle_param_lookup={'bogus': 0})
+
+
+def test_ensemble_condition():
+    net, params = _net(1, n_out=2)
+    c1 = C.IVP(t_0=0.0, u_0=1.0)
+    c2 = C.IVP(t_0=0.0, u_0=-2.0)
+    cond = C.EnsembleCondition(c1, c2)
+    t, = F.coordinates(0.0 * ones)
+    u = cond.enforce(net, params, t)
+    assert u.shape == (N, 2)
+    assert np.allclose(u.value[:, 0], 1.0, atol=ATOL)
+    assert np.allclose(u.value[:, 1], -2.0, atol=ATOL)
+
+
+def test_ensemble_condition_rejects_enforce_overrides():
+    c1 = C.IVP(t_0=0.0, u_0=1.0)
+    c2 = C.IBVP1D(x_min=0, x_max=1, t_min=0, t_min_val=lambda x: 0 * x,
+                  x_min_val=lambda t: 0 * t, x_max_prime=lambda t: 0 * t)
+    with pytest.raises(ValueError):
+        C.EnsembleCondition(c1, c2)
+    with pytest.warns(UserWarning):
+        C.EnsembleCondition(c1, c2, force=True)
+
+
+def test_irregular_boundary_in_domain_default():
+    cond = C.IrregularBoundaryCondition()
+    xs = np.random.rand(N, 1)
+    assert cond.in_domain(xs, xs).all()
+
+
+def test_deprecated_set_impose_on():
+    net, params = _net(1, n_out=3)
+    cond = C.IVP(t_0=0.0, u_0=1.0)
+    with pytest.warns(DeprecationWarning):
+        cond.set_impose_on(1)
+    t, = F.coordinates(0.0 * ones)
+    u = cond.enforce(net, params, t)
+    assert u.shape == (N, 1)
+    assert np.allclose(u.value, 1.0, atol=ATOL)

@@ -1,0 +1,214 @@
+"""Operator correctness: closed-form checks plus coordinate-free vector
+identities on random neural fields (the reference's strongest oracle,
+tests/test_operators_identities.py:13-60)."""
+import numpy as np
+import pytest
+import jax
+
+from neurodiffeq_tpu import fields as F
+from neurodiffeq_tpu.fields import diff
+from neurodiffeq_tpu.networks import FCNN
+from neurodiffeq_tpu import operators as ops
+from neurodiffeq_tpu.utils import next_rng_key
+
+N = 1000
+EPS = 1e-4
+
+
+def _neural_scalar_field(coords, seed):
+    net = FCNN(n_input_units=len(coords), n_output_units=1, hidden_units=(16, 16))
+    params = net.init(jax.random.PRNGKey(seed))
+    return F.network_field(lambda xs: net.apply(params, xs), coords)
+
+
+def _neural_vector_field(coords, seed):
+    return tuple(_neural_scalar_field(coords, seed * 10 + i) for i in range(3))
+
+
+@pytest.fixture
+def cart():
+    return F.coordinates(*[np.random.rand(N) * 2 - 1 for _ in range(3)])
+
+
+@pytest.fixture
+def sph():
+    r = np.random.rand(N) + 0.5
+    theta = np.random.rand(N) * np.pi * 0.9 + 0.05
+    phi = np.random.rand(N) * 2 * np.pi
+    return F.coordinates(r, theta, phi)
+
+
+@pytest.fixture
+def cyl():
+    rho = np.random.rand(N) + 0.5
+    phi = np.random.rand(N) * 2 * np.pi
+    z = np.random.rand(N) * 2 - 1
+    return F.coordinates(rho, phi, z)
+
+
+def _max(v):
+    return float(np.abs(np.asarray(v.value)).max())
+
+
+# ------------------------------------------------------ closed-form checks
+
+def test_cartesian_grad_div_laplacian(cart):
+    x, y, z = cart
+    u = x ** 2 + y * z + F.sin(z)
+    gx, gy, gz = ops.grad(u, x, y, z)
+    assert np.allclose(gx.value, (2 * x).value, atol=1e-8)
+    assert np.allclose(gy.value, z.value, atol=1e-8)
+    assert np.allclose(gz.value, (y + F.cos(z)).value, atol=1e-8)
+    lap = ops.laplacian(u, x, y, z)
+    assert np.allclose(lap.value, (2 - F.sin(z)).value, atol=1e-8)
+    d = ops.div(x * y, y * z, z * x, x, y, z)
+    assert np.allclose(d.value, (y + z + x).value, atol=1e-8)
+
+
+def test_cartesian_curl_closed_form(cart):
+    x, y, z = cart
+    # u = (-y, x, 0) -> curl = (0, 0, 2)
+    cx, cy, cz = ops.curl(-y, x, 0 * z, x, y, z)
+    assert _max(cx) < 1e-8 and _max(cy) < 1e-8
+    assert np.allclose(cz.value, 2.0, atol=1e-8)
+
+
+def test_spherical_laplacian_closed_form(sph):
+    r, theta, phi = sph
+    # u = r^2 -> laplacian = 6
+    lap = ops.spherical_laplacian(r ** 2, r, theta, phi)
+    assert np.allclose(lap.value, 6.0, atol=1e-6)
+    # u = 1/r is harmonic away from origin
+    lap = ops.spherical_laplacian(1 / r, r, theta, phi)
+    assert _max(lap) < 1e-6
+
+
+def test_cylindrical_laplacian_closed_form(cyl):
+    rho, phi, z = cyl
+    # u = rho^2 -> laplacian = 4
+    lap = ops.cylindrical_laplacian(rho ** 2, rho, phi, z)
+    assert np.allclose(lap.value, 4.0, atol=1e-6)
+    # u = log(rho) is harmonic in 2-D
+    lap = ops.cylindrical_laplacian(F.log(rho), rho, phi, z)
+    assert _max(lap) < 1e-6
+
+
+def test_coordinate_conversions(sph):
+    r, theta, phi = sph
+    x, y, z = ops.spherical_to_cartesian(r, theta, phi)
+    r2, t2, p2 = ops.cartesian_to_spherical(x, y, z)
+    assert np.allclose(r2.value, r.value, atol=1e-10)
+    assert np.allclose(t2.value, theta.value, atol=1e-10)
+    # phi wraps mod 2pi
+    dphi = np.asarray((p2 - phi).value) % (2 * np.pi)
+    dphi = np.minimum(dphi, 2 * np.pi - dphi)
+    assert dphi.max() < 1e-8
+
+    rho, ph, zz = F.coordinates(np.random.rand(N) + 0.5, np.random.rand(N) * 2 * np.pi - np.pi,
+                                np.random.rand(N))
+    x, y, z = ops.cylindrical_to_cartesian(rho, ph, zz)
+    r3, p3, z3 = ops.cartesian_to_cylindrical(x, y, z)
+    assert np.allclose(r3.value, rho.value, atol=1e-10)
+    assert np.allclose(p3.value, ph.value, atol=1e-8)
+    assert np.allclose(z3.value, zz.value, atol=1e-12)
+
+
+# --------------------------------------------- identities on neural fields
+
+def test_identity_div_curl_is_zero_cartesian(cart):
+    u = _neural_vector_field(cart, 1)
+    curl = ops.curl(*u, *cart)
+    divcurl = ops.div(*curl, *cart)
+    assert _max(divcurl) < EPS
+
+
+def test_identity_curl_grad_is_zero_cartesian(cart):
+    s = _neural_scalar_field(cart, 2)
+    g = ops.grad(s, *cart)
+    curlgrad = ops.curl(*g, *cart)
+    for comp in curlgrad:
+        assert _max(comp) < EPS
+
+
+def test_identity_div_grad_is_laplacian_cartesian(cart):
+    s = _neural_scalar_field(cart, 3)
+    g = ops.grad(s, *cart)
+    lhs = ops.div(*g, *cart)
+    rhs = ops.laplacian(s, *cart)
+    assert _max(lhs - rhs) < EPS
+
+
+def test_identity_curl_curl_cartesian(cart):
+    u = _neural_vector_field(cart, 4)
+    cc = ops.curl(*ops.curl(*u, *cart), *cart)
+    d = ops.div(*u, *cart)
+    gd = ops.grad(d, *cart)
+    vl = ops.vector_laplacian(*u, *cart)
+    for lhs, g, l in zip(cc, gd, vl):
+        assert _max(lhs - (g - l)) < EPS
+
+
+def test_identity_div_curl_is_zero_spherical(sph):
+    u = _neural_vector_field(sph, 5)
+    curl = ops.spherical_curl(*u, *sph)
+    divcurl = ops.spherical_div(*curl, *sph)
+    assert _max(divcurl) < EPS
+
+
+def test_identity_curl_grad_is_zero_spherical(sph):
+    s = _neural_scalar_field(sph, 6)
+    g = ops.spherical_grad(s, *sph)
+    curlgrad = ops.spherical_curl(*g, *sph)
+    for comp in curlgrad:
+        assert _max(comp) < EPS
+
+
+def test_identity_div_grad_is_laplacian_spherical(sph):
+    s = _neural_scalar_field(sph, 7)
+    g = ops.spherical_grad(s, *sph)
+    lhs = ops.spherical_div(*g, *sph)
+    rhs = ops.spherical_laplacian(s, *sph)
+    assert _max(lhs - rhs) < EPS
+
+
+def test_identity_curl_curl_spherical(sph):
+    u = _neural_vector_field(sph, 8)
+    cc = ops.spherical_curl(*ops.spherical_curl(*u, *sph), *sph)
+    d = ops.spherical_div(*u, *sph)
+    gd = ops.spherical_grad(d, *sph)
+    vl = ops.spherical_vector_laplacian(*u, *sph)
+    for lhs, g, l in zip(cc, gd, vl):
+        assert _max(lhs - (g - l)) < EPS
+
+
+def test_identity_div_curl_is_zero_cylindrical(cyl):
+    u = _neural_vector_field(cyl, 9)
+    curl = ops.cylindrical_curl(*u, *cyl)
+    divcurl = ops.cylindrical_div(*curl, *cyl)
+    assert _max(divcurl) < EPS
+
+
+def test_identity_curl_grad_is_zero_cylindrical(cyl):
+    s = _neural_scalar_field(cyl, 10)
+    g = ops.cylindrical_grad(s, *cyl)
+    curlgrad = ops.cylindrical_curl(*g, *cyl)
+    for comp in curlgrad:
+        assert _max(comp) < EPS
+
+
+def test_identity_div_grad_is_laplacian_cylindrical(cyl):
+    s = _neural_scalar_field(cyl, 11)
+    g = ops.cylindrical_grad(s, *cyl)
+    lhs = ops.cylindrical_div(*g, *cyl)
+    rhs = ops.cylindrical_laplacian(s, *cyl)
+    assert _max(lhs - rhs) < EPS
+
+
+def test_identity_curl_curl_cylindrical(cyl):
+    u = _neural_vector_field(cyl, 12)
+    cc = ops.cylindrical_curl(*ops.cylindrical_curl(*u, *cyl), *cyl)
+    d = ops.cylindrical_div(*u, *cyl)
+    gd = ops.cylindrical_grad(d, *cyl)
+    vl = ops.cylindrical_vector_laplacian(*u, *cyl)
+    for lhs, g, l in zip(cc, gd, vl):
+        assert _max(lhs - (g - l)) < EPS

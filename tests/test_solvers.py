@@ -1,0 +1,294 @@
+"""Solver-engine behavioral tests (parity with reference tests/test_solvers.py
+and the integration tests of tests/test_ode.py)."""
+import io
+import numpy as np
+import pytest
+import optax
+
+from neurodiffeq_tpu import fields as F
+from neurodiffeq_tpu.fields import diff
+from neurodiffeq_tpu.conditions import IVP, NoCondition, DirichletBVP2D
+from neurodiffeq_tpu.generators import Generator1D, Generator2D
+from neurodiffeq_tpu.networks import FCNN, SinActv
+from neurodiffeq_tpu.solvers import Solver1D, Solver2D, GenericSolver, BundleSolver1D
+from neurodiffeq_tpu.conditions import BundleIVP
+
+
+def exp_decay_solver(**kwargs):
+    return Solver1D(
+        ode_system=lambda u, t: [diff(u, t) + u],
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+        **kwargs,
+    )
+
+
+def test_missing_generator_raises():
+    with pytest.raises(ValueError):
+        Solver1D(lambda u, t: [diff(u, t)], [IVP(0, 1)])
+
+
+def test_history_bookkeeping():
+    solver = exp_decay_solver()
+    solver.fit(max_epochs=7, tqdm_file=None)
+    assert len(solver.metrics_history['train_loss']) == 7
+    assert len(solver.metrics_history['valid_loss']) == 7
+    assert solver.global_epoch == 7
+    assert solver.lowest_loss is not None
+    assert solver.best_params is not None
+
+
+def test_callback_path_matches_history():
+    seen = []
+
+    def cb(s):
+        seen.append((s.local_epoch, s.global_epoch))
+
+    solver = exp_decay_solver()
+    solver.fit(max_epochs=5, callbacks=[cb], tqdm_file=None)
+    assert len(seen) == 5
+    assert seen[-1][0] == 5
+
+
+def test_early_stopping():
+    def cb(s):
+        if s.local_epoch >= 3:
+            s._stop_training = True
+
+    solver = exp_decay_solver()
+    solver.fit(max_epochs=100, callbacks=[cb], tqdm_file=None)
+    assert solver.global_epoch == 3
+
+
+def test_convergence_exp_decay():
+    solver = exp_decay_solver()
+    solver.fit(max_epochs=800, tqdm_file=None)
+    sol = solver.get_solution()
+    ts = np.linspace(0, 2, 100)
+    err = np.abs(np.asarray(sol(ts)) - np.exp(-ts)).max()
+    assert err < 2e-2, f"max error {err}"
+    # exact constraint at t=0 regardless of training
+    assert np.isclose(float(np.asarray(sol(np.zeros(1)))[0]), 1.0, atol=1e-10)
+
+
+def test_solution_shapes_and_numpy():
+    solver = exp_decay_solver()
+    solver.fit(max_epochs=2, tqdm_file=None)
+    sol = solver.get_solution()
+    ts = np.linspace(0, 2, 12).reshape(3, 4)
+    out = sol(ts, to_numpy=True)
+    assert isinstance(out, np.ndarray) and out.shape == (3, 4)
+    out = sol(ts.flatten())
+    assert out.shape == (12,)
+
+
+def test_get_residuals_shapes():
+    solver = exp_decay_solver()
+    solver.fit(max_epochs=2, tqdm_file=None)
+    ts = np.linspace(0.1, 1.9, 10)
+    res = solver.get_residuals(ts, to_numpy=True)
+    assert res.shape == (10,)
+    res = solver.get_residuals(ts.reshape(2, 5), best=False)
+    assert res.shape == (2, 5)
+
+
+def test_no_validation_best_from_train():
+    solver = exp_decay_solver(n_batches_valid=0)
+    solver.fit(max_epochs=5, tqdm_file=None)
+    assert len(solver.metrics_history['valid_loss']) == 0
+    assert solver.best_params is not None
+    assert solver.lowest_loss is not None
+
+
+def test_metrics_logged():
+    def analytic_mse(u, t):
+        return ((u - np.e ** (-t)) ** 2).mean()
+
+    solver = exp_decay_solver(metrics={'analytic_mse': analytic_mse})
+    solver.fit(max_epochs=3, tqdm_file=None)
+    assert len(solver.metrics_history['train__analytic_mse']) == 3
+    assert len(solver.metrics_history['valid__analytic_mse']) == 3
+
+
+def test_deprecated_analytic_solutions():
+    with pytest.warns(FutureWarning):
+        solver = Solver1D(
+            ode_system=lambda u, t: [diff(u, t) + u],
+            conditions=[IVP(t_0=0.0, u_0=1.0)],
+            t_min=0.0, t_max=2.0,
+            analytic_solutions=lambda t: [np.e ** (-t)],
+        )
+    solver.fit(max_epochs=2, tqdm_file=None)
+    assert len(solver.metrics_history['train__analytic_mse']) == 2
+
+
+def test_gradient_accumulation_n_batches():
+    solver = exp_decay_solver(n_batches_train=3)
+    solver.fit(max_epochs=3, tqdm_file=None)
+    assert solver.global_epoch == 3
+
+
+def test_custom_loss_fn_str():
+    for name in ('l1', 'l2', 'infinity', 'h1', 'h1 semi'):
+        solver = exp_decay_solver(loss_fn=name)
+        solver.fit(max_epochs=2, tqdm_file=None)
+        assert solver.global_epoch == 2
+
+
+def test_custom_loss_fn_callable():
+    def myloss(residual, funcs, coords):
+        return (residual.value ** 2).mean() + 0.0
+
+    solver = exp_decay_solver(loss_fn=myloss)
+    solver.fit(max_epochs=2, tqdm_file=None)
+    assert solver.global_epoch == 2
+
+
+def test_custom_optimizer():
+    solver = exp_decay_solver(optimizer=optax.sgd(1e-3))
+    solver.fit(max_epochs=3, tqdm_file=None)
+    assert solver.global_epoch == 3
+
+
+def test_lbfgs_closure_optimizer():
+    solver = exp_decay_solver(
+        optimizer=optax.lbfgs(),
+        n_batches_valid=4,
+    )
+    assert solver._closure_style
+    solver.fit(max_epochs=30, tqdm_file=None)
+    sol = solver.get_solution()
+    ts = np.linspace(0, 2, 50)
+    err = np.abs(np.asarray(sol(ts)) - np.exp(-ts)).max()
+    assert err < 5e-2, f"max error {err}"
+
+
+def test_lbfgs_warns_without_validation():
+    with pytest.warns(RuntimeWarning):
+        exp_decay_solver(optimizer=optax.lbfgs(), n_batches_valid=0)
+
+
+def test_get_internals():
+    solver = exp_decay_solver()
+    solver.fit(max_epochs=1, tqdm_file=None)
+    d = solver.get_internals('all')
+    assert 'nets' in d and 'params' in d and 'diff_eqs' in d
+    assert solver.get_internals('n_funcs') == 1
+    assert solver.get_internals(['n_funcs', 'lowest_loss'], return_type='dict')['n_funcs'] == 1
+
+
+def test_deprecated_args_warn():
+    with pytest.warns(FutureWarning):
+        exp_decay_solver(shuffle=True)
+    with pytest.warns(FutureWarning):
+        exp_decay_solver(batch_size=64)
+
+
+def test_additional_loss_hook():
+    calls = []
+
+    class MySolver(Solver1D):
+        def additional_loss(self, residual, funcs, coords):
+            calls.append(1)
+            return 0.01 * (funcs[0].value ** 2).mean()
+
+    solver = MySolver(
+        ode_system=lambda u, t: [diff(u, t) + u],
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+    )
+    solver.fit(max_epochs=2, tqdm_file=None)
+    assert calls  # traced at least once
+    assert solver.global_epoch == 2
+
+
+def test_system_of_odes_converges():
+    # harmonic oscillator: u'' + u = 0 as a system; u1(0)=0, u2(0)=1
+    def system(u1, u2, t):
+        return [diff(u1, t) - u2, diff(u2, t) + u1]
+
+    solver = Solver1D(
+        ode_system=system,
+        conditions=[IVP(t_0=0.0, u_0=0.0), IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2 * np.pi,
+        nets=[FCNN(1, 1, hidden_units=(32, 32), actv=SinActv) for _ in range(2)],
+    )
+    solver.fit(max_epochs=1500, tqdm_file=None)
+    sol = solver.get_solution()
+    ts = np.linspace(0, 2 * np.pi, 100)
+    u1, u2 = sol(ts)
+    assert np.abs(np.asarray(u1) - np.sin(ts)).max() < 5e-2
+    assert np.abs(np.asarray(u2) - np.cos(ts)).max() < 5e-2
+
+
+def test_generic_solver():
+    solver = GenericSolver(
+        diff_eqs=lambda u, t: [diff(u, t) + u],
+        conditions=[NoCondition()],
+        train_generator=Generator1D(32, 0, 2),
+        valid_generator=Generator1D(32, 0, 2),
+        n_input_units=1, n_output_units=1,
+    )
+    solver.fit(max_epochs=3, tqdm_file=None)
+    sol = solver.get_solution()
+    assert np.asarray(sol(np.linspace(0, 2, 7))).shape == (7,)
+
+
+def test_solver2d_laplace_short():
+    # Laplace on unit square with analytic solution sin(pi x) sinh(pi y)/sinh(pi)
+    from neurodiffeq_tpu.operators import laplacian
+
+    cond = DirichletBVP2D(
+        x_min=0.0, x_min_val=lambda y: 0 * y,
+        x_max=1.0, x_max_val=lambda y: 0 * y,
+        y_min=0.0, y_min_val=lambda x: F.sin(np.pi * x),
+        y_max=1.0, y_max_val=lambda x: 0 * x,
+    )
+    solver = Solver2D(
+        pde_system=lambda u, x, y: [diff(u, x, 2) + diff(u, y, 2)],
+        conditions=[cond],
+        xy_min=(0.0, 0.0), xy_max=(1.0, 1.0),
+        train_generator=Generator2D((16, 16), (0, 0), (1, 1), method='equally-spaced-noisy'),
+        valid_generator=Generator2D((16, 16), (0, 0), (1, 1), method='equally-spaced'),
+    )
+    solver.fit(max_epochs=30, tqdm_file=None)
+    sol = solver.get_solution()
+    xs = np.random.rand(20)
+    ys = np.random.rand(20)
+    out = np.asarray(sol(xs, ys))
+    assert out.shape == (20,)
+
+
+def test_bundle_solver():
+    # du/dt = -lambda * u, bundle over lambda in [0.5, 1.5]; u(0)=1
+    def system(u, t, lam):
+        return [diff(u, t) + lam * u]
+
+    solver = BundleSolver1D(
+        ode_system=system,
+        conditions=[BundleIVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=1.0,
+        theta_min=0.5, theta_max=1.5,
+        eq_param_index=(0,),
+    )
+    solver.fit(max_epochs=600, tqdm_file=None)
+    sol = solver.get_solution()
+    ts = np.linspace(0, 1, 20)
+    for lam in (0.6, 1.0, 1.4):
+        us = np.asarray(sol(ts, lam * np.ones(20)))
+        err = np.abs(us - np.exp(-lam * ts)).max()
+        assert err < 5e-2, f"lambda={lam} err={err}"
+
+
+def test_fit_resume_continues_history():
+    solver = exp_decay_solver()
+    solver.fit(max_epochs=3, tqdm_file=None)
+    solver.fit(max_epochs=4, tqdm_file=None)
+    assert solver.global_epoch == 7
+
+
+def test_tqdm_writes_to_stream():
+    stream = io.StringIO()
+    solver = exp_decay_solver()
+    solver.fit(max_epochs=2, tqdm_file=stream)
+    assert 'Training Progress' in stream.getvalue()
