@@ -1,1 +1,6 @@
-"""Placeholder for the hypersolver subpackage (implementation in progress)."""
+r"""Hypersolver subpackage: neural-corrected numerical ODE integrators
+(capability parity with reference ``neurodiffeq/hypersolver/``)."""
+from .hypersolver import Hypersolver, DiscreteSolution1D
+from .numerical_solvers import NumericalSolver, Euler
+
+__all__ = ['Hypersolver', 'DiscreteSolution1D', 'NumericalSolver', 'Euler']

@@ -168,9 +168,25 @@ class BaseSolver(ABC, PretrainedSolver):
         if valid_generator is None:
             raise ValueError("valid_generator must be specified")
 
+        # Deduplicate repeated net instances (e.g. the legacy single-net setup
+        # where one multi-output net is shared across conditions with
+        # `set_impose_on`): each unique module gets ONE parameter pytree, the
+        # JAX analog of torch Adam over an OrderedSet of parameters
+        # (reference solvers.py:182).
+        unique_nets = []
+        self._net_param_index = []
+        for net in self.nets:
+            for j, u in enumerate(unique_nets):
+                if u is net:
+                    self._net_param_index.append(j)
+                    break
+            else:
+                self._net_param_index.append(len(unique_nets))
+                unique_nets.append(net)
+
         key = key if key is not None else next_rng_key()
-        init_keys = jax.random.split(key, len(self.nets))
-        self.params = [net.init(k) for net, k in zip(self.nets, init_keys)]
+        init_keys = jax.random.split(key, len(unique_nets))
+        self.params = [net.init(k) for net, k in zip(unique_nets, init_keys)]
 
         self.metrics_fn = metrics if metrics else {}
         if analytic_solutions:
@@ -311,6 +327,10 @@ class BaseSolver(ABC, PretrainedSolver):
                 points, NamedSharding(self.mesh, P('points', None)))
         return points
 
+    def _expand_params(self, params):
+        """Map the deduped parameter list back to one entry per net/condition."""
+        return [params[j] for j in self._net_param_index]
+
     def _forward(self, params, cols):
         """Sampled columns -> (funcs, coord_fields); shared by loss & residuals."""
         points = jnp.concatenate([c.reshape(-1, 1) for c in cols], axis=1)
@@ -318,7 +338,7 @@ class BaseSolver(ABC, PretrainedSolver):
         coord_fields = coords_from_points(points)
         funcs = [
             self.compute_func_val(net, p, cond, *coord_fields)
-            for net, p, cond in zip(self.nets, params, self.conditions)
+            for net, p, cond in zip(self.nets, self._expand_params(params), self.conditions)
         ]
         return funcs, coord_fields
 
@@ -730,6 +750,8 @@ class BaseSolver(ABC, PretrainedSolver):
         original_shape = coords[0].shape
         cols = [c.reshape(-1, 1) for c in coords]
         params = self.best_params if best else self.params
+        if params is not None:
+            params = self._expand_params(params)
         if params is None:
             raise RuntimeError(
                 "The best parameters are not available; check if you disabled validation "
@@ -738,7 +760,7 @@ class BaseSolver(ABC, PretrainedSolver):
         coord_fields = coords_from_points(points)
         funcs = [
             self.compute_func_val(net, p, cond, *coord_fields)
-            for net, p, cond in zip(self.nets, params, self.conditions)
+            for net, p, cond in zip(self.nets, self._expand_params(params), self.conditions)
         ]
         residuals = self.diff_eqs(*funcs, *coord_fields)
         if isinstance(residuals, Field):
@@ -824,6 +846,8 @@ class GenericSolver(BaseSolver):
     def get_solution(self, copy=True, best=True):
         r"""Get a (callable) solution object."""
         params = self.best_params if best else self.params
+        if params is not None:
+            params = self._expand_params(params)
         conditions = self.conditions
         if copy:
             conditions = deepcopy(conditions)
@@ -874,6 +898,8 @@ class Solver1D(BaseSolver):
     def get_solution(self, copy=True, best=True):
         r"""Get a (callable) solution object evaluated as ``solution(ts)``."""
         params = self.best_params if best else self.params
+        if params is not None:
+            params = self._expand_params(params)
         conditions = deepcopy(self.conditions) if copy else self.conditions
         return Solution1D(self.nets, params, conditions)
 
@@ -927,6 +953,8 @@ class Solver2D(BaseSolver):
     def get_solution(self, copy=True, best=True):
         r"""Get a (callable) solution object evaluated as ``solution(xs, ys)``."""
         params = self.best_params if best else self.params
+        if params is not None:
+            params = self._expand_params(params)
         conditions = deepcopy(self.conditions) if copy else self.conditions
         return Solution2D(self.nets, params, conditions)
 
@@ -1015,10 +1043,16 @@ class SolverSpherical(BaseSolver):
             return self.enforcer(net, params, cond, coordinates)
 
         if cond.__class__.enforce == BaseCondition.enforce:
-            n_params = len(inspect.signature(cond.parameterize).parameters)
+            sig = inspect.signature(cond.parameterize)
+            offset = 1  # the `output_tensor` argument
         else:
-            n_params = len(inspect.signature(cond.enforce).parameters) - 1  # minus `params`
-        coordinates = coordinates[:n_params - 1]
+            sig = inspect.signature(cond.enforce)
+            offset = 2  # the `net` and `params` arguments
+        if any(p.kind == inspect.Parameter.VAR_POSITIONAL for p in sig.parameters.values()):
+            # var-positional (e.g. NoCondition's *input_tensors): takes all coords
+            return cond.enforce(net, params, *coordinates)
+        n_coords = len(sig.parameters) - offset
+        coordinates = coordinates[:n_coords]
         return cond.enforce(net, params, *coordinates)
 
     def compute_func_val(self, net, params, cond, *coordinates):
@@ -1028,6 +1062,8 @@ class SolverSpherical(BaseSolver):
         r"""Get a (callable) solution object; with ``harmonics_fn`` the radial
         coefficients are expanded against the basis."""
         params = self.best_params if best else self.params
+        if params is not None:
+            params = self._expand_params(params)
         conditions = deepcopy(self.conditions) if copy else self.conditions
         if harmonics_fn:
             return SolutionSphericalHarmonics(self.nets, params, conditions, harmonics_fn=harmonics_fn)
@@ -1121,6 +1157,8 @@ class BundleSolver1D(BaseSolver):
         r"""Get a (callable) solution object evaluated as
         ``solution(ts, theta_1, ..., theta_n)``."""
         params = self.best_params if best else self.params
+        if params is not None:
+            params = self._expand_params(params)
         conditions = deepcopy(self.conditions) if copy else self.conditions
         return BundleSolution1D(self.nets, params, conditions)
 

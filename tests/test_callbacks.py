@@ -1,0 +1,222 @@
+"""Callback logic tests (parity with reference tests/test_callbacks.py)."""
+import os
+import random
+
+import numpy as np
+import pytest
+import optax
+
+from neurodiffeq_tpu import callbacks as cb
+from neurodiffeq_tpu.solvers import Solver1D
+from neurodiffeq_tpu.conditions import IVP
+from neurodiffeq_tpu.fields import diff
+
+
+@pytest.fixture
+def solver():
+    s = Solver1D(
+        ode_system=lambda u, t: [diff(u, t) + u],
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+    )
+    s.metrics_history['train_loss'] = [1.0, 0.8]
+    s.metrics_history['valid_loss'] = [1.1, 0.9]
+    s.local_epoch = 5
+    s._max_local_epoch = 10
+    return s
+
+
+class _Flag(cb.ActionCallback):
+    def __init__(self):
+        super().__init__()
+        self.called = 0
+
+    def __call__(self, solver):
+        self.called += 1
+
+
+def test_true_false_callbacks(solver):
+    assert cb.TrueCallback().condition(solver)
+    assert not cb.FalseCallback().condition(solver)
+
+
+def test_boolean_algebra(solver):
+    t, f = cb.TrueCallback(), cb.FalseCallback()
+    assert (t & t).condition(solver)
+    assert not (t & f).condition(solver)
+    assert (t | f).condition(solver)
+    assert not (f | f).condition(solver)
+    assert (~f).condition(solver)
+    assert not (~t).condition(solver)
+    assert (t ^ f).condition(solver)
+    assert not (t ^ t).condition(solver)
+
+
+def test_condition_runs_action(solver):
+    flag = _Flag()
+    c = cb.TrueCallback().set_action_callback(flag)
+    c(solver)
+    assert flag.called == 1
+    c2 = cb.FalseCallback().set_action_callback(flag)
+    c2(solver)
+    assert flag.called == 1
+
+
+def test_conditioned_on(solver):
+    flag = _Flag()
+    c = flag.conditioned_on(cb.TrueCallback())
+    c(solver)
+    assert flag.called == 1
+    with pytest.raises(TypeError):
+        flag.conditioned_on(flag)
+    with pytest.raises(TypeError):
+        cb.TrueCallback().set_action_callback(cb.TrueCallback())
+
+
+def test_epoch_conditions(solver):
+    solver.local_epoch = 1
+    assert cb.OnFirstLocal().condition(solver)
+    solver.local_epoch = 2
+    assert not cb.OnFirstLocal().condition(solver)
+    solver.local_epoch = 10
+    assert cb.OnLastLocal().condition(solver)
+
+    solver.metrics_history['train_loss'] = [0.5]
+    assert cb.OnFirstGlobal().condition(solver)
+    solver.metrics_history['train_loss'] = [0.5, 0.4]
+    assert not cb.OnFirstGlobal().condition(solver)
+
+
+def test_period_conditions(solver):
+    hits = [e for e in range(1, 21) if _period_hits(solver, e)]
+    assert hits == [3, 6, 9, 12, 15, 18]
+
+
+def _period_hits(solver, epoch):
+    solver.local_epoch = epoch
+    return cb.PeriodLocal(period=3).condition(solver)
+
+
+def test_closed_interval_conditions(solver):
+    solver.local_epoch = 5
+    assert cb.ClosedIntervalLocal(min=3, max=7).condition(solver)
+    assert not cb.ClosedIntervalLocal(min=6).condition(solver)
+    assert cb.ClosedIntervalLocal(max=5).condition(solver)
+    solver.metrics_history['train_loss'] = [0.1] * 4
+    assert cb.ClosedIntervalGlobal(min=4, max=4).condition(solver)
+
+
+def test_random_condition(solver):
+    random.seed(0)
+    always = cb.Random(1.0)
+    never = cb.Random(0.0)
+    assert all(always.condition(solver) for _ in range(10))
+    assert not any(never.condition(solver) for _ in range(10))
+    with pytest.raises(ValueError):
+        cb.Random(1.5)
+
+
+def test_repeated_metric_down(solver):
+    c = cb.RepeatedMetricDown(at_least_by=0.05, use_train=True, metric='loss', repetition=2)
+    solver.metrics_history['train_loss'] = [1.0]
+    assert not c.condition(solver)
+    solver.metrics_history['train_loss'] = [1.0, 0.9]
+    assert not c.condition(solver)
+    solver.metrics_history['train_loss'] = [1.0, 0.9, 0.8]
+    assert c.condition(solver)
+
+
+def test_repeated_metric_up_converge_diverge(solver):
+    up = cb.RepeatedMetricUp(at_least_by=0.05, repetition=1)
+    solver.metrics_history['train_loss'] = [1.0, 1.1]
+    assert up.condition(solver)
+
+    conv = cb.RepeatedMetricConverge(epsilon=0.01, repetition=1)
+    solver.metrics_history['train_loss'] = [1.0, 1.005]
+    assert conv.condition(solver)
+
+    div = cb.RepeatedMetricDiverge(gap=0.5, repetition=1)
+    solver.metrics_history['train_loss'] = [1.0, 2.0]
+    assert div.condition(solver)
+
+
+def test_repeated_metric_below_above(solver):
+    below = cb.RepeatedMetricBelow(threshold=0.5, repetition=1)
+    solver.metrics_history['train_loss'] = [1.0, 0.4]
+    assert below.condition(solver)
+    above = cb.RepeatedMetricAbove(threshold=0.5, repetition=1)
+    solver.metrics_history['train_loss'] = [1.0, 0.7]
+    assert above.condition(solver)
+
+
+def test_stop_callback(solver):
+    cb.StopCallback()(solver)
+    assert solver._stop_training
+
+
+def test_eve_callback_doubles_batches(solver):
+    eve = cb.EveCallback(base_value=1.0, double_at=0.1, n_0=1, n_max=16)
+    solver.metrics_history['train_loss'] = [0.01]  # two decades below base
+    eve(solver)
+    assert solver.n_batches['train'] == 4
+    solver.metrics_history['train_loss'] = [1e-9]
+    eve(solver)
+    assert solver.n_batches['train'] == 16  # capped at n_max
+
+
+def test_checkpoint_callback(tmp_path, solver):
+    ckpt = cb.CheckpointCallback(str(tmp_path))
+    ckpt(solver)
+    files = [f for f in os.listdir(tmp_path) if f.endswith('.internals')]
+    assert len(files) == 1
+    import dill
+    with open(os.path.join(tmp_path, files[0]), 'rb') as f:
+        internals = dill.load(f)
+    assert 'params' in internals and internals['params'] is not None
+    leaf = internals['params'][0]['layers'][0]['W']
+    assert isinstance(leaf, np.ndarray)
+
+
+def test_set_loss_fn_callback(solver):
+    c = cb.SetLossFn('l1')
+    c(solver)
+    from neurodiffeq_tpu.losses import _losses
+    assert solver.loss_fn is _losses['l1']
+    # without reset, a second call doesn't re-set
+    solver.loss_fn = 'sentinel'
+    c(solver)
+    assert solver.loss_fn == 'sentinel'
+
+
+def test_set_optimizer_callback(solver):
+    c = cb.SetOptimizer(optax.sgd(1e-2))
+    c(solver)
+    solver.fit(max_epochs=2, tqdm_file=None)
+    assert solver.global_epoch >= 2
+
+    c2 = cb.SetOptimizer(optax.sgd, optimizer_args=(1e-3,))
+    c2(solver)
+    solver.fit(max_epochs=1, tqdm_file=None)
+
+
+def test_report_callback_smoke(solver):
+    cb.ReportCallback()(solver)
+
+
+def test_deprecated_aliases():
+    with pytest.warns(FutureWarning):
+        cb.ReportOnFitCallback()
+    with pytest.warns(FutureWarning):
+        cb.SetCriterion('l2')
+
+
+def test_integration_stop_on_converge():
+    stop_cb = cb.StopCallback().conditioned_on(
+        cb.RepeatedMetricConverge(epsilon=1e2, repetition=1))  # huge epsilon: trigger immediately
+    s = Solver1D(
+        ode_system=lambda u, t: [diff(u, t) + u],
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+    )
+    s.fit(max_epochs=100, callbacks=[stop_cb], tqdm_file=None)
+    assert s.global_epoch < 100

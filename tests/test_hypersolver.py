@@ -1,0 +1,58 @@
+"""Hypersolver end-to-end tests vs analytic solutions (parity with reference
+tests/test_hypersolver.py: rtol=1e-2 on exp decay and sin/cos system)."""
+import numpy as np
+
+from neurodiffeq_tpu.hypersolver import Hypersolver, Euler, DiscreteSolution1D
+
+
+def test_euler_solve_and_interp():
+    # du/dt = -u, u(0) = 1
+    ret = Euler().solve(lambda u, t: [-u], 1.0, 0.0, 1.0, 100)
+    sol = DiscreteSolution1D(*ret)
+    ts = np.linspace(0, 1, 23)
+    us, = sol(ts)
+    assert np.allclose(np.asarray(us), np.exp(-ts), rtol=1e-2)
+
+
+def test_hypersolver_exp_decay():
+    sol_fn = lambda ts: [np.exp(-np.asarray(ts))]  # noqa: E731
+    hs = Hypersolver(
+        func=lambda u, t: [-u], u0=1.0, t0=0.0, tn=2.0, n_steps=50,
+        sol=sol_fn, numerical_solver=Euler(),
+    )
+    hs.fit(max_epochs=2000)
+    assert hs.global_epoch == 2000
+    solution = hs.get_solution()
+    ts = np.linspace(0, 2, 37)
+    us, = solution(ts)
+    assert np.allclose(np.asarray(us), np.exp(-ts), rtol=1e-2)
+
+
+def test_hypersolver_beats_plain_euler():
+    sol_fn = lambda ts: [np.exp(-np.asarray(ts))]  # noqa: E731
+    hs = Hypersolver(
+        func=lambda u, t: [-u], u0=1.0, t0=0.0, tn=2.0, n_steps=20,
+        sol=sol_fn, numerical_solver=Euler(),
+    )
+    hs.fit(max_epochs=500)
+    ts = np.linspace(0, 2, 37)
+    us_corrected, = hs.get_solution()(ts)
+    us_plain, = DiscreteSolution1D(*Euler().solve(lambda u, t: [-u], 1.0, 0.0, 2.0, 20))(ts)
+    err_corrected = np.abs(np.asarray(us_corrected) - np.exp(-ts)).max()
+    err_plain = np.abs(np.asarray(us_plain) - np.exp(-ts)).max()
+    assert err_corrected < err_plain / 2
+
+
+def test_hypersolver_sin_cos_system():
+    # u1' = u2, u2' = -u1; u1(0)=0, u2(0)=1 -> (sin, cos)
+    sol_fn = lambda ts: [np.sin(np.asarray(ts)), np.cos(np.asarray(ts))]  # noqa: E731
+    hs = Hypersolver(
+        func=lambda u1, u2, t: [u2, -u1], u0=(0.0, 1.0), t0=0.0, tn=np.pi, n_steps=60,
+        sol=sol_fn, numerical_solver=Euler(),
+    )
+    hs.fit(max_epochs=2000)
+    solution = hs.get_solution()
+    ts = np.linspace(0, np.pi, 29)
+    u1, u2 = solution(ts)
+    assert np.allclose(np.asarray(u1), np.sin(ts), atol=1e-2)
+    assert np.allclose(np.asarray(u2), np.cos(ts), atol=1e-2)

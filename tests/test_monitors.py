@@ -1,0 +1,115 @@
+"""Monitor smoke tests under the Agg backend (parity with reference
+tests/test_monitors.py)."""
+import numpy as np
+import pytest
+
+from neurodiffeq_tpu.monitors import (
+    Monitor1D, Monitor2D, MonitorSpherical, MonitorSphericalHarmonics,
+    MetricsMonitor, StreamPlotMonitor2D,
+)
+from neurodiffeq_tpu.solvers import Solver1D, Solver2D, SolverSpherical
+from neurodiffeq_tpu.conditions import IVP, NoCondition, DirichletBVPSphericalBasis
+from neurodiffeq_tpu.function_basis import RealSphericalHarmonics
+from neurodiffeq_tpu.networks import FCNN
+from neurodiffeq_tpu.fields import diff
+from neurodiffeq_tpu import fields as F
+
+
+@pytest.fixture
+def solver1d():
+    s = Solver1D(
+        ode_system=lambda u, t: [diff(u, t) + u],
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+    )
+    s.fit(max_epochs=2, tqdm_file=None)
+    return s
+
+
+def test_monitor_1d(solver1d):
+    m = Monitor1D(0, 2, check_every=1)
+    m.check(solver1d.nets, solver1d.conditions, solver1d.metrics_history, params=solver1d.params)
+    assert m.fig is not None
+
+
+def test_monitor_1d_requires_params(solver1d):
+    m = Monitor1D(0, 2)
+    with pytest.raises(ValueError):
+        m.check(solver1d.nets, solver1d.conditions, solver1d.metrics_history)
+
+
+def test_monitor_to_callback(solver1d):
+    m = Monitor1D(0, 2, check_every=2)
+    callback = m.to_callback()
+    solver1d.fit(max_epochs=3, callbacks=[callback], tqdm_file=None)
+    assert m.fig is not None
+
+
+def test_monitor_2d():
+    s = Solver2D(
+        pde_system=lambda u, x, y: [diff(u, x, 2) + diff(u, y, 2)],
+        conditions=[NoCondition()],
+        xy_min=(0, 0), xy_max=(1, 1),
+    )
+    s.fit(max_epochs=2, tqdm_file=None)
+    for style in ('heatmap', 'curves'):
+        m = Monitor2D((0, 0), (1, 1), check_every=1, solution_style=style)
+        m.check(s.nets, s.conditions, s.metrics_history, params=s.params)
+        assert m.fig is not None
+    with pytest.raises(ValueError):
+        Monitor2D((0, 0), (1, 1), solution_style='bogus')
+
+
+def test_metrics_monitor(solver1d):
+    m = MetricsMonitor(check_every=1)
+    m.check(solver1d.nets, solver1d.conditions, solver1d.metrics_history, params=solver1d.params)
+
+
+def test_monitor_spherical():
+    s = SolverSpherical(
+        pde_system=lambda u, r, theta, phi: [diff(u, r) + u],
+        conditions=[NoCondition()],
+        r_min=0.5, r_max=2.0,
+    )
+    s.fit(max_epochs=2, tqdm_file=None)
+    m = MonitorSpherical(0.5, 2.0, check_every=1, shape=(4, 4, 4))
+    m.check(s.nets, s.conditions, s.metrics_history, params=s.params)
+    assert m.fig is not None
+    # log-scale variant
+    m2 = MonitorSpherical(0.5, 2.0, check_every=1, shape=(4, 4, 4), r_scale='log')
+    m2.check(s.nets, s.conditions, s.metrics_history, params=s.params)
+
+
+def test_monitor_spherical_harmonics():
+    K = 9
+    s = SolverSpherical(
+        pde_system=lambda u, r, theta, phi: [diff(u, r, shape_check=False)],
+        conditions=[DirichletBVPSphericalBasis(r_0=0.5, R_0=np.zeros(K))],
+        r_min=0.5, r_max=2.0,
+        nets=[FCNN(1, K, hidden_units=(8,))],
+        n_output_units=K,
+    )
+    s.fit(max_epochs=1, tqdm_file=None)
+    m = MonitorSphericalHarmonics(
+        0.5, 2.0, check_every=1, shape=(4, 4, 4),
+        harmonics_fn=RealSphericalHarmonics(max_degree=2))
+    m.check(s.nets, s.conditions, s.metrics_history, params=s.params)
+    assert m.max_degree == 2
+    with pytest.raises(ValueError):
+        MonitorSphericalHarmonics(0.5, 2.0, shape=(4, 4, 4))
+
+
+def test_streamplot_monitor():
+    s = Solver2D(
+        pde_system=lambda u, v, x, y: [diff(u, x) + diff(v, y), diff(u, y) - diff(v, x)],
+        conditions=[NoCondition(), NoCondition()],
+        xy_min=(0, 0), xy_max=(1, 1),
+    )
+    s.fit(max_epochs=1, tqdm_file=None)
+    m = StreamPlotMonitor2D(
+        xy_min=(0, 0), xy_max=(1, 1), pairs=[(0, 1), 0], nx=8, ny=8,
+        field_names=['velocity', 'potential'])
+    m.check(s.nets, s.conditions, s.metrics_history, params=s.params)
+    assert m.fig is not None
+    with pytest.raises(ValueError):
+        StreamPlotMonitor2D(xy_min=(0, 0), xy_max=(1, 1), pairs=[(0, 1)], field_names=['a', 'b'])

@@ -1,0 +1,87 @@
+"""Multi-device sharding tests on the 8-virtual-device CPU mesh (SURVEY.md §4:
+the TPU-native equivalent of the reference's nonexistent distributed layer)."""
+import numpy as np
+import pytest
+import jax
+
+from neurodiffeq_tpu.parallel import make_mesh, points_sharding, shard_points
+from neurodiffeq_tpu.solvers import Solver1D, Solver2D
+from neurodiffeq_tpu.conditions import IVP, DirichletBVP2D
+from neurodiffeq_tpu.generators import Generator1D, Generator2D
+from neurodiffeq_tpu.fields import diff
+from neurodiffeq_tpu import fields as F
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
+
+
+def test_make_mesh():
+    mesh = make_mesh()
+    assert mesh.axis_names == ('points',)
+    assert mesh.devices.size == len(jax.devices())
+    mesh4 = make_mesh(n_devices=4)
+    assert mesh4.devices.size == 4
+
+
+def test_shard_points_under_jit():
+    mesh = make_mesh()
+    n = 8 * 16
+
+    @jax.jit
+    def f(pts):
+        pts = shard_points(pts, mesh)
+        return (pts ** 2).sum()
+
+    out = f(np.random.rand(n, 2))
+    assert np.isfinite(float(out))
+
+
+def test_sharded_solver_trains_and_matches_unsharded_structure():
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    solver = Solver1D(
+        ode_system=lambda u, t: [diff(u, t) + u],
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+        train_generator=Generator1D(16 * n_dev, 0, 2, method='equally-spaced-noisy'),
+        valid_generator=Generator1D(16 * n_dev, 0, 2, method='equally-spaced'),
+        mesh=mesh,
+    )
+    solver.fit(max_epochs=300, tqdm_file=None)
+    sol = solver.get_solution()
+    ts = np.linspace(0, 2, 50)
+    err = np.abs(np.asarray(sol(ts)) - np.exp(-ts)).max()
+    assert err < 5e-2, f"sharded training failed to converge: {err}"
+
+
+def test_sharded_2d_full_train_step():
+    """The dryrun_multichip path: full train step jitted over the mesh."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(len(jax.devices()))
+
+
+def test_sharded_loss_matches_unsharded():
+    """Numerical equivalence: same params + same points => same loss value
+    with and without the mesh constraint."""
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    common = dict(
+        ode_system=lambda u, t: [diff(u, t) + u],
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+        train_generator=Generator1D(8 * n_dev, 0, 2, method='equally-spaced'),
+        valid_generator=Generator1D(8 * n_dev, 0, 2, method='equally-spaced'),
+        key=jax.random.PRNGKey(7),
+    )
+    s_plain = Solver1D(**common)
+    s_mesh = Solver1D(**common, mesh=mesh)
+    # identical init
+    for a, b in zip(jax.tree.leaves(s_plain.params), jax.tree.leaves(s_mesh.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+    cols = [np.linspace(0, 2, 8 * n_dev).reshape(-1, 1)]
+    loss_plain, _ = s_plain._loss_and_metrics(s_plain.params, cols)
+    loss_mesh, _ = jax.jit(s_mesh._loss_and_metrics)(s_mesh.params, cols)
+    assert np.isclose(float(loss_plain), float(loss_mesh), rtol=1e-10)

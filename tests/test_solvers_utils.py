@@ -1,0 +1,90 @@
+"""Solver persistence tests: save/load round trips (the reference's
+tests/test_solvers_utils.py is a stub; these are real)."""
+import numpy as np
+import pytest
+import jax
+
+from neurodiffeq_tpu.solvers import Solver1D, Solver2D
+from neurodiffeq_tpu.solvers_utils import SolverConfig, get_source
+from neurodiffeq_tpu.conditions import IVP, NoCondition
+from neurodiffeq_tpu.fields import diff
+from neurodiffeq_tpu import fields as F
+
+
+def _ode(u, t):
+    return [diff(u, t) + u]
+
+
+def test_save_load_roundtrip(tmp_path):
+    solver = Solver1D(
+        ode_system=_ode,
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+    )
+    solver.fit(max_epochs=50, tqdm_file=None)
+    sol_before = solver.get_solution()
+    ts = np.linspace(0, 2, 17)
+    us_before = np.asarray(sol_before(ts))
+
+    path = str(tmp_path / 'solver.ndq')
+    solver.save(path=path)
+
+    loaded = Solver1D.load(path=path)
+    assert loaded.global_epoch == 50
+    assert loaded.lowest_loss == solver.lowest_loss
+    us_after = np.asarray(loaded.get_solution()(ts))
+    assert np.allclose(us_before, us_after, atol=1e-12)
+
+    # training continues from the restored state
+    loaded.fit(max_epochs=5, tqdm_file=None)
+    assert loaded.global_epoch == 55
+
+
+def test_save_load_2d(tmp_path):
+    solver = Solver2D(
+        pde_system=lambda u, x, y: [diff(u, x) + diff(u, y)],
+        conditions=[NoCondition()],
+        xy_min=(0, 0), xy_max=(1, 1),
+    )
+    solver.fit(max_epochs=3, tqdm_file=None)
+    path = str(tmp_path / 's2d.ndq')
+    solver.save(path=path)
+    loaded = Solver2D.load(path=path)
+    xs, ys = np.random.rand(5), np.random.rand(5)
+    assert np.allclose(
+        np.asarray(solver.get_solution()(xs, ys)),
+        np.asarray(loaded.get_solution()(xs, ys)),
+        atol=1e-12,
+    )
+
+
+def test_load_with_config_overrides(tmp_path):
+    solver = Solver1D(
+        ode_system=_ode,
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+    )
+    solver.fit(max_epochs=2, tqdm_file=None)
+    path = str(tmp_path / 'solver.ndq')
+    solver.save(path=path)
+
+    cfg = SolverConfig(n_batches_train=3)
+    loaded = Solver1D.load(path=path, config=cfg)
+    assert loaded.n_batches['train'] == 3
+
+
+def test_save_requires_target():
+    solver = Solver1D(
+        ode_system=_ode,
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+    )
+    with pytest.raises(ValueError):
+        solver.save()
+    with pytest.raises(ValueError):
+        Solver1D.load()
+
+
+def test_get_source():
+    src = get_source(_ode)
+    assert src is not None and 'diff' in src
