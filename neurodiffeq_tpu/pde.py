@@ -433,22 +433,42 @@ class InterpolatorCreator:
 
 class Interpolator:
     """Thin-plate-spline evaluation; Field-aware (``interpolate``) for the
-    differentiated training path, numpy (``interpolate_np``) for monitor masks."""
+    differentiated training path, numpy (``interpolate_np``) for monitor masks.
+
+    The Field path evaluates the whole M-point TPS basis as ONE vectorized
+    per-sample computation (distances to an (M, 2) constant, a log, two dot
+    products) rather than a Python loop over control points — this keeps the
+    traced XLA graph O(1) in the number of control points, which matters
+    because the enforced solution (and its second derivatives) differentiate
+    through the spline."""
 
     def interpolate(self, dimensions):
         raise NotImplementedError  # pragma: no cover
 
     @staticmethod
-    def _interpolate_by_thin_plate_spline(coefs, control_points, dimensions):
+    def _interpolate_by_thin_plate_spline(coefs, control_points, dimensions, stiffness=0.01):
+        from .fields import Field
+        import jax.numpy as jnp
+
+        fields = [d for d in dimensions if isinstance(d, Field)]
+        if not fields:
+            return Interpolator._interpolate_np(coefs, control_points, dimensions)
+
         n_pnts = len(control_points)
-        to_value = 0.0
-        for coef, cp in zip(coefs, control_points):
-            ri_sq = Interpolator._ri_sq_thin_plate_spline_trainval(cp, dimensions)
-            to_value = to_value + float(coef) * ri_sq * F.log(ri_sq)
-        to_value = to_value + float(coefs[n_pnts])
-        for j, d in enumerate(dimensions):
-            to_value = to_value + float(coefs[n_pnts + 1 + j]) * d
-        return to_value
+        cp_locs = np.asarray([cp.loc for cp in control_points])          # (M, d)
+        w_basis = np.asarray(coefs[:n_pnts])                             # (M,)
+        w_const = float(coefs[n_pnts])
+        w_linear = np.asarray(coefs[n_pnts + 1:])                        # (d,)
+
+        cs = fields[0].coords
+        subfns = [d.fn for d in dimensions]
+
+        def fn(xs):
+            pt = jnp.stack([jnp.reshape(f(xs), ()) for f in subfns])     # (d,)
+            r2 = ((pt[None, :] - cp_locs) ** 2).sum(axis=1) + stiffness ** 2
+            return (w_basis * (r2 * jnp.log(r2))).sum() + w_const + (w_linear * pt).sum()
+
+        return Field(fn, cs)
 
     @staticmethod
     def _interpolate_np(coefs, control_points, dimensions):
