@@ -37,7 +37,9 @@ def _ann_field(net, params, coordinates, ith_unit=None):
 
     ``coordinates`` may be a subset of the full coordinate set (e.g. a radial
     net in a harmonics basis); the network consumes exactly the passed
-    components, in order.
+    components, in order. When the network supports batched Taylor propagation
+    the field gets the hot evaluation path (one shared forward pass for all
+    derivatives of the enforced solution).
     """
     cs = coordinates[0].coords
     idxs = tuple(c.index for c in coordinates)
@@ -52,7 +54,21 @@ def _ann_field(net, params, coordinates, ith_unit=None):
             out = out[ith_unit:ith_unit + 1]
         return out
 
-    return Field(fn, cs)
+    trule = None
+    if getattr(net, 'supports_taylor', False):
+        def trule(ctx):
+            from .ops.taylor import TSeries, slice_series
+            sub = list(idxs)
+            c0 = ctx.points[:, sub]
+            d1 = ctx.directions[:, sub][:, None, :]  # (D, 1, len): constant tangents
+            zeros = jnp.zeros_like(d1)
+            derivs = ([d1] + [zeros] * (ctx.order - 1))[:ctx.order]
+            out = net.taylor_apply(params, TSeries(c0, derivs), ctx)
+            if ith_unit is not None:
+                out = slice_series(out, ith_unit)
+            return out
+
+    return Field(fn, cs, trule=trule)
 
 
 def _const_field(value, like_field):
@@ -63,7 +79,11 @@ def _const_field(value, like_field):
         # anchor dtype/shape to the coordinate array without depending on it
         return jnp.asarray(value, dtype=xs.dtype)
 
-    return Field(fn, cs)
+    def trule(ctx):
+        from .ops.taylor import constant_series
+        return constant_series(value, ctx, ctx.points.shape[0])
+
+    return Field(fn, cs, trule=trule)
 
 
 class BaseCondition:

@@ -29,13 +29,33 @@ def _linear_init(key, n_in, n_out, dtype):
 
 
 class Module:
-    """Minimal stateless module protocol: ``init(key) -> params``, ``apply(params, x)``."""
+    """Minimal stateless module protocol: ``init(key) -> params``, ``apply(params, x)``.
+
+    Modules may additionally support **batched Taylor propagation** (the hot
+    evaluation path, see :mod:`neurodiffeq_tpu.ops.taylor`): set
+    ``supports_taylor`` and implement ``taylor_apply(params, series, ctx)``.
+    Activations flag ``jet_safe = True`` when every primitive they use has a
+    ``jax.experimental.jet`` rule.
+    """
+
+    supports_taylor = False
+    jet_safe = False
 
     def init(self, key, dtype=None):
         raise NotImplementedError  # pragma: no cover
 
     def apply(self, params, x):
         raise NotImplementedError  # pragma: no cover
+
+    def taylor_apply(self, params, series, ctx):
+        raise NotImplementedError  # pragma: no cover
+
+    def taylor_series(self, params, series, ctx):
+        """Series propagation through this module as an elementwise op
+        (activations); generic fallback uses jvp-derived partials."""
+        from .ops.taylor import elementwise_series
+        return elementwise_series(
+            lambda x: self.apply(params, x), [series], ctx.order, ctx.n_dirs)
 
     def __call__(self, params, x):
         return self.apply(params, x)
@@ -45,6 +65,7 @@ class Module:
 
 class Tanh(Module):
     """Hyperbolic tangent activation (the reference's default, ``nn.Tanh``)."""
+    jet_safe = True
 
     def init(self, key, dtype=None):
         return None
@@ -52,9 +73,14 @@ class Tanh(Module):
     def apply(self, params, x):
         return jnp.tanh(x)
 
+    def taylor_series(self, params, series, ctx):
+        from .ops.taylor import elementwise_series
+        return elementwise_series(jnp.tanh, [series], ctx.order, ctx.n_dirs)
+
 
 class SinActv(Module):
     """The sin activation function (reference ``networks.py:142-152``)."""
+    jet_safe = True
 
     def init(self, key, dtype=None):
         return None
@@ -62,8 +88,13 @@ class SinActv(Module):
     def apply(self, params, x):
         return jnp.sin(x)
 
+    def taylor_series(self, params, series, ctx):
+        from .ops.taylor import elementwise_series
+        return elementwise_series(jnp.sin, [series], ctx.order, ctx.n_dirs)
+
 
 class Swish(Module):
+    jet_safe = True
     r"""Swish activation: ``x * sigmoid(beta * x)`` with optionally trainable beta
     (reference ``networks.py:155-175``)."""
 
@@ -80,8 +111,21 @@ class Swish(Module):
         beta = params['beta'] if (self.trainable and params is not None) else self.beta
         return x * jax.nn.sigmoid(beta * x)
 
+    def taylor_series(self, params, series, ctx):
+        # closed forms: f = x s(bx); f' = s + bx s(1-s); f'' = 2bs(1-s) + b^2 x s(1-s)(1-2s)
+        from .ops.taylor import TSeries, _chain_unary
+        beta = params['beta'] if (self.trainable and params is not None) else self.beta
+        x = series.c0
+        s = jax.nn.sigmoid(beta * x)
+        sp = s * (1 - s)
+        c0 = x * s
+        f1 = s + beta * x * sp
+        f2 = 2 * beta * sp + beta * beta * x * sp * (1 - 2 * s)
+        return _chain_unary(series, ctx.order, c0, f1, f2) if ctx.order else TSeries(c0, [])
+
 
 class APTx(Module):
+    jet_safe = True
     r"""APTx activation: ``(alpha + tanh(beta x)) * gamma * x``
     (reference ``networks.py:177-209``)."""
 
@@ -105,6 +149,22 @@ class APTx(Module):
         else:
             a, b, g = self.alpha, self.beta, self.gamma
         return (a + jnp.tanh(b * x)) * g * x
+
+    def taylor_series(self, params, series, ctx):
+        # f = g x (a + t), t = tanh(bx); f' = g(a + t) + g x b (1 - t^2);
+        # f'' = 2 g b (1 - t^2) - 2 g x b^2 t (1 - t^2)
+        from .ops.taylor import TSeries, _chain_unary
+        if self.trainable and params is not None:
+            a, b, g = params['alpha'], params['beta'], params['gamma']
+        else:
+            a, b, g = self.alpha, self.beta, self.gamma
+        x = series.c0
+        t = jnp.tanh(b * x)
+        tp = 1 - t * t
+        c0 = g * x * (a + t)
+        f1 = g * (a + t) + g * x * b * tp
+        f2 = 2 * g * b * tp - 2 * g * x * b * b * t * tp
+        return _chain_unary(series, ctx.order, c0, f1, f2) if ctx.order else TSeries(c0, [])
 
 
 def _as_activation(actv):
@@ -196,6 +256,23 @@ class FCNN(Module):
         lp = layers[-1]
         return h @ lp['W'] + lp['b']
 
+    @property
+    def supports_taylor(self):
+        return all(getattr(a, 'jet_safe', False) for a in self.actvs)
+
+    def taylor_apply(self, params, series, ctx):
+        """Batched Taylor propagation: linear layers map coefficients exactly,
+        activations propagate via one jet call each — the whole network
+        forward (and all directional derivative chains) in one pass."""
+        from .ops.taylor import affine_series
+        layers = params['layers']
+        actv_params = params['actv']
+        for i, lp in enumerate(layers[:-1]):
+            series = affine_series(series, lp['W'], lp['b'])
+            series = self.actvs[i].taylor_series(actv_params[i], series, ctx)
+        lp = layers[-1]
+        return affine_series(series, lp['W'], lp['b'])
+
     def __repr__(self):
         return (f"FCNN(n_input_units={self.n_input_units}, "
                 f"n_output_units={self.n_output_units}, hidden_units={self.hidden_units})")
@@ -228,6 +305,16 @@ class Resnet(Module):
     def apply(self, params, x):
         return x @ params['skip_W'] + self.residual.apply(params['residual'], x)
 
+    @property
+    def supports_taylor(self):
+        return self.residual.supports_taylor
+
+    def taylor_apply(self, params, series, ctx):
+        from .ops.taylor import affine_series, add_series
+        skip = affine_series(series, params['skip_W'])
+        res = self.residual.taylor_apply(params['residual'], series, ctx)
+        return add_series(skip, res)
+
 
 class MonomialNN(Module):
     """Expands input to ``[x^d for d in degrees]`` concatenated along columns
@@ -249,6 +336,16 @@ class MonomialNN(Module):
 
     def apply(self, params, x):
         return jnp.concatenate([x ** d for d in self.degrees], axis=-1)
+
+    supports_taylor = True
+
+    def taylor_apply(self, params, series, ctx):
+        from .ops.taylor import elementwise_series, concat_series
+        parts = [
+            elementwise_series(lambda x, _d=d: x ** _d, [series], ctx.order, ctx.n_dirs)
+            for d in self.degrees
+        ]
+        return concat_series(parts, ctx.order, ctx.n_dirs)
 
     def __repr__(self):
         return f"MonomialNN(degrees={self.degrees})"

@@ -50,6 +50,10 @@ def grad(u, *xs):
         if not isinstance(x, Field) or x.index is None:
             raise TypeError("grad expects coordinate Fields as independent variables")
 
+    if u.trule is not None:
+        # hot path: every partial reads off u's shared batched Taylor series
+        return [diff(u, x, shape_check=False) for x in xs]
+
     inner = u.fn
 
     def full_grad(z, *aux):
@@ -89,7 +93,13 @@ def curl(u_x, u_y, u_z, x, y, z):
 
 def laplacian(u, *xs):
     r"""Laplacian of a scalar field: sum of second partials (grad-then-diff
-    composition, matching ``operators.py:77-89``)."""
+    composition, matching ``operators.py:77-89``). When ``u`` has a Taylor
+    rule, the second derivatives read off its shared series directly."""
+    if u.trule is not None:
+        total = diff(u, xs[0], 2)
+        for x in xs[1:]:
+            total = total + diff(u, x, 2)
+        return total
     gs = grad(u, *xs)
     total = diff(gs[0], xs[0])
     for g, x in zip(gs[1:], xs[1:]):

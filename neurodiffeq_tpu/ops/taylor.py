@@ -1,0 +1,417 @@
+r"""Batched Taylor-mode series propagation for Fields.
+
+The TPU-first replacement for per-derivative nested-``jvp`` chains
+(cf. PAPERS.md: Taylor-mode AD / STDE). A :class:`TSeries` holds, for one
+batch of N collocation points:
+
+- ``c0``: the value, shape ``(N, m)``;
+- ``derivs[k-1]``: the k-th directional derivatives along each of D probe
+  directions (the coordinate axes), shape ``(D, N, m)`` — or any
+  broadcast-compatible shape such as ``(D, 1, m)``.
+
+The broadcast shapes are the key optimization: coordinate tangents are
+CONSTANT across the batch (they are unit vectors), and stay constant through
+every affine layer — so the first-order tangent of a width-H hidden layer is a
+``(D, 1, H)`` array, not ``(D, N, H)``. Materialization to the full batch
+happens only where a nonlinearity mixes in batch-dependent values. For an
+MLP Laplacian this reproduces the hand-derived structure (second derivative =
+``sigma''(h) * row_norms(W1)^2 @ W2``) automatically.
+
+Rules:
+
+- *Coordinate* components and constants have closed-form series.
+- *Linear layers* map series coefficient-wise (exact; preserves broadcasting).
+- *Elementwise ops* (activations, condition formulas) propagate by manual
+  chain rules for order <= 2 (first/second partials of the op are computed
+  ONCE on ``(N, m)`` data via ``jax.jvp`` and broadcast over directions), and
+  by ``jax.experimental.jet`` for higher orders.
+- The expression DAG is memoized per :class:`TContext`, so e.g. the network
+  forward pass is computed ONCE for u, u_x, u_xx, u_y, u_yy.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental.jet import jet
+
+__all__ = ['TSeries', 'TContext', 'teval', 'elementwise_series', 'constant_series',
+           'affine_series', 'concat_series', 'slice_series', 'sum_series', 'add_series']
+
+
+class TSeries:
+    __slots__ = ('c0', 'derivs')
+
+    def __init__(self, c0, derivs):
+        self.c0 = c0          # (N, m)
+        self.derivs = derivs  # list of (D, N|1, m), orders 1..K
+
+    @property
+    def order(self):
+        return len(self.derivs)
+
+
+class TContext:
+    """Evaluation context for one collocation set: probe directions are the
+    coordinate axes; ``cache`` memoizes (field -> TSeries / value) by id."""
+
+    def __init__(self, points, order):
+        self.points = points
+        self.order = order
+        n, d = points.shape
+        self.directions = jnp.eye(d, dtype=points.dtype)  # (D=d, d)
+        self.n_dirs = d
+        # (id, kind) -> (field, payload); the field reference keeps ids stable
+        self.cache = {}
+
+    def memo(self, field, kind, compute):
+        key = (id(field), kind)
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit[1]
+        out = compute()
+        self.cache[key] = (field, out)
+        return out
+
+
+def teval(field, ctx):
+    """Memoized Taylor evaluation of a Field under a context."""
+    return ctx.memo(field, 's', lambda: field.trule(ctx))
+
+
+def constant_series(value, ctx, n_samples):
+    """Series of a per-sample-constant (or broadcast-constant) array."""
+    c0 = jnp.asarray(value, dtype=ctx.points.dtype)
+    if c0.ndim == 0:
+        c0 = c0[None, None]
+    elif c0.ndim == 1:
+        c0 = c0[None, :]
+    c0 = jnp.broadcast_to(c0, (n_samples, c0.shape[-1]))
+    zero = jnp.zeros((ctx.n_dirs, 1, 1), dtype=ctx.points.dtype)
+    return TSeries(c0, [zero] * ctx.order)
+
+
+def coordinate_series(index, ctx):
+    """Series of the index-th coordinate component: value = points[:, i],
+    first derivative = e_d[i] per direction (constant across the batch),
+    higher derivatives = 0."""
+    c0 = ctx.points[:, index:index + 1]                      # (N, 1)
+    d1 = ctx.directions[:, index][:, None, None]             # (D, 1, 1)
+    zeros = jnp.zeros_like(d1)
+    derivs = [d1] + [zeros] * (ctx.order - 1)
+    return TSeries(c0, derivs[:ctx.order])
+
+
+def affine_series(ts, W, b=None):
+    """Exact propagation through x @ W (+ b); preserves broadcast shapes."""
+    c0 = ts.c0 @ W
+    if b is not None:
+        c0 = c0 + b
+    return TSeries(c0, [d @ W for d in ts.derivs])
+
+
+def _materialize(d, n_dirs, n, m):
+    return jnp.broadcast_to(d, (n_dirs, n, m))
+
+
+def elementwise_series(op, operands, order, n_dirs):
+    r"""Propagate series through an elementwise op.
+
+    :param op: elementwise function of ``len(operands)`` arrays.
+    :param operands: list of TSeries with broadcast-compatible shapes.
+    :param order: series order K (0 = value only).
+    :param n_dirs: number of probe directions D.
+    """
+    c0_out = op(*[s.c0 for s in operands])
+    if order == 0:
+        return TSeries(c0_out, [])
+    if order <= 2:
+        return _elementwise_manual(op, operands, order, c0_out)
+    return _elementwise_jet(op, operands, order, n_dirs, c0_out)
+
+
+def _chain_unary(a, order, c0_out, f1, f2):
+    """Assemble the unary chain rule from precomputed f'(x), f''(x)."""
+    if order == 0:
+        return TSeries(c0_out, [])
+    a1 = a.derivs[0]
+    derivs = [f1[None] * a1]
+    if order == 2:
+        c2 = f1[None] * a.derivs[1]
+        if f2 is not None:
+            c2 = c2 + f2[None] * a1 * a1
+        derivs.append(c2)
+    return TSeries(c0_out, derivs)
+
+
+# closed-form (f', f'') for unary ops, reusing the forward value v where
+# possible — ONE transcendental per op instead of the ~7 a generic
+# jvp-of-jvp evaluation costs (tanh/exp dominate PINN residual time)
+def _unary_rules():
+    def d_tanh(x, v):
+        f1 = 1 - v * v
+        return f1, -2 * v * f1
+
+    def d_exp(x, v):
+        return v, v
+
+    def d_sin(x, v):
+        c = jnp.cos(x)
+        return c, -v
+
+    def d_cos(x, v):
+        s = jnp.sin(x)
+        return -s, -v
+
+    def d_sinh(x, v):
+        c = jnp.cosh(x)
+        return c, v
+
+    def d_cosh(x, v):
+        s = jnp.sinh(x)
+        return s, v
+
+    def d_log(x, v):
+        inv = 1 / x
+        return inv, -inv * inv
+
+    def d_sqrt(x, v):
+        f1 = 0.5 / v
+        return f1, -0.5 * f1 / x
+
+    def d_sigmoid(x, v):
+        f1 = v * (1 - v)
+        return f1, f1 * (1 - 2 * v)
+
+    def d_neg(x, v):
+        return -jnp.ones_like(x), None
+
+    def d_abs(x, v):
+        return jnp.sign(x), None
+
+    def d_erf(x, v):
+        f1 = (2 / np.sqrt(np.pi)) * jnp.exp(-x * x)
+        return f1, -2 * x * f1
+
+    return {
+        jnp.tanh: d_tanh, jnp.exp: d_exp, jnp.sin: d_sin, jnp.cos: d_cos,
+        jnp.sinh: d_sinh, jnp.cosh: d_cosh, jnp.log: d_log, jnp.sqrt: d_sqrt,
+        jax.nn.sigmoid: d_sigmoid, jnp.negative: d_neg, jnp.abs: d_abs,
+        jax.scipy.special.erf: d_erf,
+    }
+
+
+_UNARY_RULES = None
+
+
+def _elementwise_manual(op, operands, order, c0_out):
+    """Chain rules for order <= 2 with closed forms for the common ops;
+    partials are computed once on batch-shaped data and broadcast over
+    directions — tangent shapes stay as small as broadcasting allows."""
+    global _UNARY_RULES
+    if _UNARY_RULES is None:
+        _UNARY_RULES = _unary_rules()
+
+    nops = len(operands)
+
+    # exact algebraic rules (no partials needed)
+    if nops == 2:
+        a, b = operands
+        if op is jnp.add:
+            derivs = [a.derivs[0] + b.derivs[0]]
+            if order == 2:
+                derivs.append(a.derivs[1] + b.derivs[1])
+            return TSeries(c0_out, derivs)
+        if op is jnp.subtract:
+            derivs = [a.derivs[0] - b.derivs[0]]
+            if order == 2:
+                derivs.append(a.derivs[1] - b.derivs[1])
+            return TSeries(c0_out, derivs)
+        if op is jnp.multiply:
+            a0, b0 = a.c0[None], b.c0[None]
+            derivs = [a.derivs[0] * b0 + a0 * b.derivs[0]]
+            if order == 2:
+                derivs.append(a.derivs[1] * b0 + a0 * b.derivs[1]
+                              + 2 * a.derivs[0] * b.derivs[0])
+            return TSeries(c0_out, derivs)
+        if op is jnp.divide:
+            inv_b = 1 / b.c0
+            q = c0_out
+            # q' = (a' - q b') / b ;  q'' = (a'' - q b'' - 2 q' b') / b
+            q1 = (a.derivs[0] - q[None] * b.derivs[0]) * inv_b[None]
+            derivs = [q1]
+            if order == 2:
+                derivs.append((a.derivs[1] - q[None] * b.derivs[1]
+                               - 2 * q1 * b.derivs[0]) * inv_b[None])
+            return TSeries(c0_out, derivs)
+
+    if nops == 1:
+        rule = _UNARY_RULES.get(op)
+        if rule is not None:
+            f1, f2 = rule(operands[0].c0, c0_out)
+            return _chain_unary(operands[0], order, c0_out, f1, f2)
+
+    # generic fallback: partials of the op via jvp (correct for any
+    # differentiable elementwise op, costlier than the closed forms)
+    c0s = tuple(s.c0 for s in operands)
+
+    def unit_tangents(i):
+        return tuple(
+            jnp.ones_like(c0s[j]) if j == i else jnp.zeros_like(c0s[j])
+            for j in range(nops)
+        )
+
+    J = [jax.jvp(op, c0s, unit_tangents(i))[1] for i in range(nops)]
+
+    c1 = 0.0
+    for i in range(nops):
+        c1 = c1 + J[i][None] * operands[i].derivs[0]
+    derivs = [c1]
+
+    if order == 2:
+        c2 = 0.0
+        for i in range(nops):
+            def dop_i(*args, _i=i):
+                return jax.jvp(op, args, unit_tangents(_i))[1]
+
+            for j in range(i, nops):
+                H_ij = jax.jvp(dop_i, c0s, unit_tangents(j))[1]
+                coeff = 1.0 if i == j else 2.0
+                c2 = c2 + coeff * H_ij[None] * operands[i].derivs[0] * operands[j].derivs[0]
+            c2 = c2 + J[i][None] * operands[i].derivs[1]
+        derivs.append(c2)
+
+    return TSeries(c0_out, derivs)
+
+
+def _elementwise_jet(op, operands, order, n_dirs, c0_out):
+    """High-order fallback: one batched jet call on (D*N, m)-stacked series."""
+    shape = c0_out.shape
+    n = shape[0]
+
+    primals = tuple(
+        jnp.broadcast_to(s.c0, shape)[None].repeat(n_dirs, axis=0).reshape((-1,) + shape[1:])
+        for s in operands
+    )
+    series = tuple(
+        [jnp.broadcast_to(d, (n_dirs,) + shape).reshape((-1,) + shape[1:]) for d in s.derivs]
+        for s in operands
+    )
+    _, out_series = jet(op, primals, series)
+    derivs = [o.reshape((n_dirs,) + shape) for o in out_series]
+    return TSeries(c0_out, derivs)
+
+
+def lifted_series(op, arg_descs, ctx):
+    """Series propagation for a lifted elementwise op with mixed arguments.
+
+    :param op: the ORIGINAL jnp op (registry dispatch needs its identity).
+    :param arg_descs: list of ('series', TSeries) / ('const', value) in call order.
+    :param ctx: the Taylor context.
+    """
+    order, n_dirs = ctx.order, ctx.n_dirs
+    series_args = [d[1] for d in arg_descs if d[0] == 'series']
+
+    if order == 0:
+        vals = [d[1].c0 if d[0] == 'series' else d[1] for d in arg_descs]
+        return TSeries(op(*vals), [])
+
+    # ---- constant-aware shortcuts, order <= 2 (keep zero-derivative
+    # constants symbolic; higher orders go through the jet path below)
+    if order <= 2 and len(arg_descs) == 2 and len(series_args) == 1:
+        (k0, a0), (k1, a1) = arg_descs
+        s = series_args[0]
+        const = a1 if k0 == 'series' else a0
+        const_first = (k0 == 'const')
+        cval = jnp.asarray(const, dtype=ctx.points.dtype)
+        if op in (jnp.add, jnp.subtract):
+            c0 = op(cval, s.c0) if const_first else op(s.c0, cval)
+            sign = -1.0 if (op is jnp.subtract and const_first) else 1.0
+            return TSeries(c0, [sign * d for d in s.derivs])
+        if op is jnp.multiply:
+            c0 = s.c0 * cval
+            return TSeries(c0, [d * cval for d in s.derivs])
+        if op is jnp.divide:
+            if const_first:  # c / x: unary 1/x scaled
+                c0 = cval / s.c0
+                inv = 1 / s.c0
+                f1 = -c0 * inv
+                f2 = -2 * f1 * inv
+                return _chain_unary(s, order, c0, f1, f2)
+            c0 = s.c0 / cval
+            inv = 1 / cval
+            return TSeries(c0, [d * inv for d in s.derivs])
+        if op is jnp.power:
+            if not const_first:  # x ** p, p constant
+                p = const
+                c0 = s.c0 ** p
+                f1 = p * s.c0 ** (p - 1)
+                try:
+                    trivial = float(p) in (0.0, 1.0)
+                except (TypeError, ValueError):  # pragma: no cover - array exponent
+                    trivial = False
+                f2 = None if trivial else (p * (p - 1)) * s.c0 ** (p - 2)
+                return _chain_unary(s, order, c0, f1, f2)
+            # a ** x, a constant
+            c0 = cval ** s.c0
+            ln_a = jnp.log(cval)
+            return _chain_unary(s, order, c0, c0 * ln_a, c0 * ln_a * ln_a)
+        if op in (jnp.maximum, jnp.minimum):
+            c0 = op(s.c0, cval)
+            picked = (c0 == s.c0)
+            f1 = picked.astype(s.c0.dtype)
+            return _chain_unary(s, order, c0, f1, None)
+
+    # ---- all-series (or unhandled const patterns): materialize consts
+    operands = []
+    for kind, payload in arg_descs:
+        if kind == 'series':
+            operands.append(payload)
+        else:
+            operands.append(constant_series(payload, ctx, ctx.points.shape[0]))
+    return elementwise_series(op, operands, order, n_dirs)
+
+
+def concat_series(operands, order, n_dirs):
+    """Column-concatenate series (the Taylor rule of fields.cat)."""
+    c0 = jnp.concatenate([s.c0 for s in operands], axis=1)
+    n = c0.shape[0]
+    derivs = []
+    for k in range(order):
+        parts = [
+            _materialize(s.derivs[k], n_dirs, n, s.c0.shape[1])
+            for s in operands
+        ]
+        derivs.append(jnp.concatenate(parts, axis=2))
+    return TSeries(c0, derivs)
+
+
+def slice_series(ts, col):
+    """Column-select series (the Taylor rule of field[:, col])."""
+    if isinstance(col, int):
+        sl = slice(col, col + 1) if col != -1 else slice(-1, None)
+    else:
+        sl = col
+
+    def take(d):
+        if d.shape[2] == 1:  # broadcast over columns: slicing is a no-op
+            return d
+        return d[:, :, sl]
+
+    return TSeries(ts.c0[:, sl], [take(d) for d in ts.derivs])
+
+
+def sum_series(ts, keepdims):
+    """Column-sum series (the Taylor rule of field.sum(axis=1))."""
+    m = ts.c0.shape[1]
+    c0 = ts.c0.sum(axis=1, keepdims=True)
+
+    def reduce(d):
+        if d.shape[2] == 1:  # broadcast over columns: sum = m * d
+            return d * m
+        return d.sum(axis=2, keepdims=True)
+
+    return TSeries(c0, [reduce(d) for d in ts.derivs])
+
+
+def add_series(a, b):
+    """Exact sum of two series (used by Resnet's skip connection)."""
+    return TSeries(a.c0 + b.c0, [da + db for da, db in zip(a.derivs, b.derivs)])

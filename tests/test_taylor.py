@@ -1,0 +1,220 @@
+"""Taylor-mode evaluation engine tests: the batched series propagation
+(ops/taylor.py) must agree with the per-sample compose path on every construct
+it accelerates."""
+import numpy as np
+import pytest
+import jax
+
+from neurodiffeq_tpu import fields as F
+from neurodiffeq_tpu.fields import diff
+from neurodiffeq_tpu.networks import FCNN, SinActv, Swish, APTx, Resnet, MonomialNN
+from neurodiffeq_tpu.conditions import IVP, DirichletBVP2D, _ann_field
+from neurodiffeq_tpu import operators as ops
+
+N = 40
+
+
+def both_modes(make_expr, atol=1e-9):
+    results = {}
+    for mode in ('taylor', 'compose'):
+        F.set_eval_mode(mode)
+        results[mode] = np.asarray(make_expr().value)
+    F.set_eval_mode('taylor')
+    assert np.allclose(results['taylor'], results['compose'], atol=atol), \
+        f"max dev {np.abs(results['taylor'] - results['compose']).max()}"
+    return results['taylor']
+
+
+@pytest.fixture
+def net2():
+    net = FCNN(2, 1, hidden_units=(16, 16))
+    return net, net.init(jax.random.PRNGKey(0))
+
+
+def _coords2():
+    rs = np.random.RandomState(7)
+    return F.coordinates(rs.rand(N), rs.rand(N))
+
+
+def test_network_value_and_laplacian(net2):
+    net, params = net2
+    assert net.supports_taylor
+
+    def expr():
+        x, y = _coords2()
+        u = _ann_field(net, params, (x, y))
+        return diff(u, x, 2) + diff(u, y, 2)
+
+    both_modes(expr)
+
+
+def test_condition_enforced_residual(net2):
+    net, params = net2
+    cond = DirichletBVP2D(0.0, lambda y: 0 * y, 1.0, lambda y: 0 * y,
+                          0.0, lambda x: F.sin(np.pi * x), 1.0, lambda x: 0 * x)
+
+    def expr():
+        x, y = _coords2()
+        u = cond.enforce(net, params, x, y)
+        return diff(u, x, 2) + diff(u, y, 2) + u * u - F.exp(-u)
+
+    both_modes(expr)
+
+
+def test_high_order(net2):
+    net, params = net2
+
+    def expr():
+        x, y = _coords2()
+        u = _ann_field(net, params, (x, y))
+        return diff(u, x, 3)
+
+    both_modes(expr)
+
+    def expr4():
+        x, y = _coords2()
+        u = _ann_field(net, params, (x, y))
+        return diff(u, y, 4)
+
+    both_modes(expr4, atol=1e-7)
+
+
+@pytest.mark.parametrize("actv", [SinActv, lambda: Swish(beta=1.7),
+                                  lambda: Swish(beta=0.8, trainable=True),
+                                  lambda: APTx(alpha=0.9, beta=1.2, gamma=0.4)])
+def test_activations_series(actv):
+    net = FCNN(1, 1, hidden_units=(8, 8), actv=actv)
+    params = net.init(jax.random.PRNGKey(1))
+
+    def expr():
+        t, = F.coordinates(np.random.RandomState(3).rand(N) + 0.1)
+        u = _ann_field(net, params, (t,))
+        return diff(u, t, 2)
+
+    both_modes(expr)
+
+
+def test_resnet_and_monomial_series():
+    rn = Resnet(2, 2, hidden_units=(8,), actv=SinActv)
+    pr = rn.init(jax.random.PRNGKey(2))
+    assert rn.supports_taylor
+
+    def expr():
+        x, y = _coords2()
+        u = _ann_field(rn, pr, (x, y))
+        return diff(u[:, 0], x, 2) * u[:, 1]
+
+    both_modes(expr)
+
+    mn = MonomialNN([1, 2, 3])
+
+    def expr2():
+        x, y = _coords2()
+        u = _ann_field(mn, None, (x, y))
+        return diff(u.sum(axis=1, keepdims=True), x, 2)
+
+    both_modes(expr2)
+
+
+def test_ivp_conditions_series():
+    net = FCNN(1, 1, hidden_units=(8,))
+    params = net.init(jax.random.PRNGKey(3))
+    for cond in (IVP(t_0=0.1, u_0=1.5), IVP(t_0=0.1, u_0=1.5, u_0_prime=-0.3)):
+        def expr():
+            t, = F.coordinates(np.random.RandomState(5).rand(N))
+            u = cond.enforce(net, params, t)
+            return diff(u, t, 2) + diff(u, t) * u
+
+        both_modes(expr)
+
+
+def test_grad_uses_shared_series(net2):
+    net, params = net2
+
+    def expr():
+        x, y = _coords2()
+        u = _ann_field(net, params, (x, y))
+        gx, gy = ops.grad(u, x, y)
+        return gx * gy + gx
+
+    both_modes(expr)
+
+
+def test_constant_shortcuts():
+    net = FCNN(1, 1, hidden_units=(8,))
+    params = net.init(jax.random.PRNGKey(4))
+
+    def expr():
+        t, = F.coordinates(np.random.RandomState(5).rand(N) + 0.5)
+        u = _ann_field(net, params, (t,))
+        # exercise const-add/sub/mul/div/pow/rpow/max shortcuts
+        v = (2.0 - u) * 3.0 / 2.0 + (u ** 2) - (u ** 3) / 4 + 2.0 ** u + 1.0 / u
+        v = F.maximum(v, -100.0)
+        return diff(v, t, 2)
+
+    both_modes(expr, atol=1e-7)
+
+
+def test_power_at_zero_no_nan():
+    net = FCNN(1, 1, hidden_units=(8,))
+    params = net.init(jax.random.PRNGKey(6))
+    cond = IVP(t_0=0.0, u_0=1.0, u_0_prime=0.5)  # formula contains (1-exp(-t))**2
+    t, = F.coordinates(np.zeros(8))
+    u = cond.enforce(net, params, t)
+    d = np.asarray(diff(u, t, 2).value)
+    assert np.isfinite(d).all()
+
+
+def test_mixed_partial_falls_back_correctly(net2):
+    net, params = net2
+
+    def expr():
+        x, y = _coords2()
+        u = _ann_field(net, params, (x, y))
+        return diff(diff(u, x), y)
+
+    both_modes(expr)
+
+
+def test_same_direction_diff_chain(net2):
+    net, params = net2
+
+    def expr():
+        x, y = _coords2()
+        u = _ann_field(net, params, (x, y))
+        return diff(diff(u, x), x)  # extends the series order instead of falling back
+
+    both_modes(expr)
+
+
+def test_aux_array_is_constant(net2):
+    net, params = net2
+    arr = np.random.RandomState(11).rand(N, 1)
+
+    def expr():
+        x, y = _coords2()
+        u = _ann_field(net, params, (x, y))
+        return diff(u * arr, x, 2)
+
+    both_modes(expr)
+
+
+def test_series_memoization_shares_primal(net2):
+    """The network series must be evaluated once per context."""
+    net, params = net2
+    calls = []
+    orig = net.taylor_apply
+
+    def counting(params_, series, ctx):
+        calls.append(1)
+        return orig(params_, series, ctx)
+
+    net.taylor_apply = counting
+    try:
+        x, y = _coords2()
+        u = _ann_field(net, params, (x, y))
+        residual = diff(u, x, 2) + diff(u, y, 2) + u
+        _ = residual.value
+        assert len(calls) == 1, f"network series evaluated {len(calls)} times"
+    finally:
+        net.taylor_apply = orig
