@@ -1,0 +1,210 @@
+"""The five BASELINE.json benchmark configurations, each returning a closure
+that runs the workload and reports throughput + solution quality.
+
+Configs (BASELINE.json "configs"):
+1. Lotka-Volterra ODE system  (Solver1D + 2x FCNN(SinActv) + IVP)
+2. 2-D Laplace Dirichlet BVP  (Solver2D + DirichletBVP2D)
+3. Spherical Poisson           (SolverSpherical + harmonics basis)
+4. Lid-driven cavity RE100     (coupled u, v, p nets; penalty BCs)
+5. Bundle + hypersolver        (BundleSolver1D over lambda; Euler refinement)
+"""
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from neurodiffeq_tpu import fields as F
+from neurodiffeq_tpu.fields import diff
+from neurodiffeq_tpu.networks import FCNN, SinActv
+from neurodiffeq_tpu.conditions import IVP, DirichletBVP2D, DirichletBVPSpherical, BundleIVP, NoCondition
+from neurodiffeq_tpu.generators import Generator2D, GeneratorSpherical
+from neurodiffeq_tpu.solvers import Solver1D, Solver2D, SolverSpherical, BundleSolver1D
+from neurodiffeq_tpu.operators import spherical_laplacian
+from neurodiffeq_tpu.utils import set_seed, next_rng_key
+
+
+def _timed_fit(solver, epochs, points_per_epoch):
+    """Run `epochs` epochs through the chunked path; return (epochs/s, points/s)."""
+    solver.fit(max_epochs=min(epochs, 100), tqdm_file=None)  # warmup/compile
+    t0 = time.perf_counter()
+    solver.fit(max_epochs=epochs, tqdm_file=None)
+    # force sync
+    _ = float(solver.metrics_history['train_loss'][-1])
+    dt = time.perf_counter() - t0
+    return epochs / dt, epochs * points_per_epoch / dt
+
+
+def bench_lotka_volterra(epochs=3000):
+    """README exemplar config (reference README.md:85-94)."""
+    set_seed(0)
+    alpha = beta = delta = gamma = 1.0
+    solver = Solver1D(
+        ode_system=lambda u, v, t: [diff(u, t) - (alpha * u - beta * u * v),
+                                    diff(v, t) - (delta * u * v - gamma * v)],
+        conditions=[IVP(t_0=0.1, u_0=1.5), IVP(t_0=0.1, u_0=1.0)],
+        t_min=0.1, t_max=12.0,
+        nets=[FCNN(actv=SinActv), FCNN(actv=SinActv)],
+    )
+    eps, pps = _timed_fit(solver, epochs, 32)
+    sol = solver.get_solution()
+    ts = np.linspace(0.1, 12, 500)
+    from scipy.integrate import odeint
+    ref = odeint(lambda y, t: [y[0] - y[0] * y[1], y[0] * y[1] - y[1]], [1.5, 1.0], ts)
+    prey, pred = sol(ts, to_numpy=True)
+    err = max(np.abs(prey - ref[:, 0]).max(), np.abs(pred - ref[:, 1]).max())
+    return dict(name='lotka_volterra', epochs_per_sec=round(eps, 1),
+                points_per_sec=round(pps, 1), max_err_vs_odeint=round(float(err), 5))
+
+
+def bench_laplace2d(epochs=2000):
+    """README exemplar config (reference README.md:113-129): FCNN(2-512-1)."""
+    set_seed(0)
+    cond = DirichletBVP2D(
+        x_min=0.0, x_min_val=lambda y: 0 * y,
+        x_max=1.0, x_max_val=lambda y: 0 * y,
+        y_min=0.0, y_min_val=lambda x: F.sin(np.pi * x),
+        y_max=1.0, y_max_val=lambda x: 0 * x,
+    )
+    solver = Solver2D(
+        pde_system=lambda u, x, y: [diff(u, x, 2) + diff(u, y, 2)],
+        conditions=[cond],
+        xy_min=(0, 0), xy_max=(1, 1),
+        nets=[FCNN(2, 1, hidden_units=(512,))],
+        train_generator=Generator2D((32, 32), (0, 0), (1, 1), method='equally-spaced-noisy'),
+        valid_generator=Generator2D((32, 32), (0, 0), (1, 1), method='equally-spaced'),
+    )
+    eps, pps = _timed_fit(solver, epochs, 1024)
+    sol = solver.get_solution()
+    xs = np.random.rand(400)
+    ys = np.random.rand(400)
+    expected = np.sin(np.pi * xs) * np.sinh(np.pi * (1 - ys)) / np.sinh(np.pi)
+    err = np.abs(np.asarray(sol(xs, ys)) - expected).max()
+    return dict(name='laplace2d_dirichlet', epochs_per_sec=round(eps, 1),
+                points_per_sec=round(pps, 1), max_err_vs_analytic=round(float(err), 5))
+
+
+def bench_spherical_poisson(epochs=1500):
+    """Gaussian-charge electric potential (reference tests/test_pde_spherical.py:103-174)."""
+    from scipy.special import erf
+    set_seed(0)
+    Q = SIGMA = EPS_0 = 1.0
+    K = 1 / (4 * np.pi * EPS_0)
+    coeff = Q / SIGMA ** 3 / np.power(2 * np.pi, 1.5)
+    r0, r1 = 0.1, 3.0
+    v0 = float(K * Q / r0 * erf(r0 / np.sqrt(2)))
+    v1 = float(K * Q / r1 * erf(r1 / np.sqrt(2)))
+    rho = lambda r: coeff * F.exp(-(r ** 2) / 2)  # noqa: E731
+
+    solver = SolverSpherical(
+        pde_system=lambda u, r, th, ph: [spherical_laplacian(u, r, th, ph) + rho(r) / EPS_0],
+        conditions=[DirichletBVPSpherical(r0, lambda th, ph: v0 + 0 * th,
+                                          r1, lambda th, ph: v1 + 0 * th)],
+        r_min=r0, r_max=r1,
+    )
+    eps, pps = _timed_fit(solver, epochs, 512)
+    sol = solver.get_solution()
+    rs = np.linspace(r0, r1, 128)
+    ths = np.random.rand(128) * np.pi * 0.9 + 0.05
+    phs = np.random.rand(128) * 2 * np.pi
+    expected = K * Q / rs * erf(rs / np.sqrt(2))
+    rel = np.abs(np.asarray(sol(rs, ths, phs)) - expected) / np.abs(expected)
+    return dict(name='spherical_poisson_gaussian_charge', epochs_per_sec=round(eps, 1),
+                points_per_sec=round(pps, 1), max_rel_err_vs_analytic=round(float(rel.max()), 5))
+
+
+def bench_lid_driven_cavity(epochs=500, grid=32, hidden=256, Re=100.0):
+    """Steady lid-driven cavity at RE=100 (reference
+    experiments/lid-driven-cavity-RE100.ipynb: single-hidden-layer 256-unit
+    nets per variable, penalty boundary conditions). Benchmarks throughput of
+    the coupled (u, v, p) Navier-Stokes residual training; full convergence
+    takes the notebook's 50k epochs."""
+    set_seed(0)
+    nu = 1.0 / Re
+
+    def ns(u, v, p, x, y):
+        # steady incompressible NS + continuity
+        mom_x = (u * diff(u, x) + v * diff(u, y) + diff(p, x)
+                 - nu * (diff(u, x, 2) + diff(u, y, 2)))
+        mom_y = (u * diff(v, x) + v * diff(v, y) + diff(p, y)
+                 - nu * (diff(v, x, 2) + diff(v, y, 2)))
+        cont = diff(u, x) + diff(v, y)
+        return [mom_x, mom_y, cont]
+
+    class CavitySolver(Solver2D):
+        """Penalty boundary terms like the reference experiment's approach."""
+
+        def additional_loss(self, residual, funcs, coords):
+            u, v, p = funcs
+            x, y = coords
+            # boundary masks built from the sampled batch (soft penalties)
+            xv, yv = x.value, y.value
+            uv, vv, pv = u.value, v.value, p.value
+            on_wall = ((xv < 1e-2) | (xv > 1 - 1e-2) | (yv < 1e-2)).astype(xv.dtype)
+            on_lid = (yv > 1 - 1e-2).astype(xv.dtype)
+            loss = ((on_wall * uv) ** 2).mean() + ((on_wall * vv) ** 2).mean()
+            loss = loss + ((on_lid * (uv - 1.0)) ** 2).mean() + ((on_lid * vv) ** 2).mean()
+            return 10.0 * loss
+
+    solver = CavitySolver(
+        pde_system=ns,
+        conditions=[NoCondition(), NoCondition(), NoCondition()],
+        xy_min=(0, 0), xy_max=(1, 1),
+        nets=[FCNN(2, 1, hidden_units=(hidden,)) for _ in range(3)],
+        train_generator=Generator2D((grid, grid), (0, 0), (1, 1), method='equally-spaced-noisy'),
+        valid_generator=Generator2D((grid, grid), (0, 0), (1, 1), method='equally-spaced'),
+    )
+    eps, pps = _timed_fit(solver, epochs, grid * grid)
+    return dict(name='lid_driven_cavity_re100', epochs_per_sec=round(eps, 1),
+                points_per_sec=round(pps, 1),
+                final_train_loss=round(float(solver.metrics_history['train_loss'][-1]), 6))
+
+
+def bench_bundle_hypersolver(epochs=1500):
+    """Solution bundle over an equation parameter + hypersolver refinement
+    (BASELINE.json config 5)."""
+    from neurodiffeq_tpu.hypersolver import Hypersolver, Euler
+    set_seed(0)
+
+    solver = BundleSolver1D(
+        ode_system=lambda u, t, lam: [diff(u, t) + lam * u],
+        conditions=[BundleIVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=1.0,
+        theta_min=0.5, theta_max=1.5,
+        eq_param_index=(0,),
+    )
+    eps, pps = _timed_fit(solver, epochs, 32 * 32)
+    sol = solver.get_solution()
+    ts = np.linspace(0, 1, 40)
+    errs = []
+    for lam in (0.6, 1.0, 1.4):
+        us = np.asarray(sol(ts, lam * np.ones(40)))
+        errs.append(np.abs(us - np.exp(-lam * ts)).max())
+
+    # hypersolver refinement: correct an Euler integrator against the bundle
+    # solution at lam = 1
+    t0 = time.perf_counter()
+    hs = Hypersolver(
+        func=lambda u, t: [-u], u0=1.0, t0=0.0, tn=1.0, n_steps=50,
+        sol=lambda ts_: [np.asarray(sol(np.asarray(ts_), np.ones(len(np.asarray(ts_)))))],
+        numerical_solver=Euler(),
+    )
+    hs.fit(max_epochs=1000)
+    hyper_time = time.perf_counter() - t0
+    us, = hs.get_solution()(ts)
+    hyper_err = np.abs(np.asarray(us) - np.exp(-ts)).max()
+
+    return dict(name='bundle_plus_hypersolver', epochs_per_sec=round(eps, 1),
+                points_per_sec=round(pps, 1),
+                bundle_max_err=round(float(max(errs)), 5),
+                hypersolver_train_s=round(hyper_time, 2),
+                hypersolver_max_err=round(float(hyper_err), 5))
+
+
+ALL_BENCHMARKS = [
+    bench_lotka_volterra,
+    bench_laplace2d,
+    bench_spherical_poisson,
+    bench_lid_driven_cavity,
+    bench_bundle_hypersolver,
+]

@@ -111,6 +111,47 @@ def safe_mkdir(path):
     os.makedirs(path, exist_ok=True)
 
 
+def get_residual_info(solution_fields, coords, diff_eqs, highest_order=0, detach=True):
+    """Evaluate equation residuals and (optionally) their derivative tensors up
+    to ``highest_order`` (parity with reference ``utils.py:71-93``, which is
+    marked untested there; this one is tested).
+
+    :param solution_fields: list of solution Fields (e.g. built by enforcing
+        conditions on networks over ``coords``).
+    :param coords: list of coordinate Fields.
+    :param diff_eqs: the equation system; maps (*funcs, *coords) to residuals.
+    :param highest_order: how many derivative levels of the residuals to take.
+    :param detach: if True, return raw (N, 1) arrays instead of Fields.
+    :return: ``[residuals, first_derivatives, ...]`` where level k >= 1 is a
+        nested list ``[per-residual [per-coordinate derivative]]``.
+    """
+    from .fields import diff, Field
+
+    residuals = diff_eqs(*solution_fields, *coords)
+    if isinstance(residuals, Field):
+        residuals = [residuals]
+
+    ret = [list(residuals)]
+    for _ in range(1, highest_order + 1):
+        prev = ret[-1]
+
+        def _diff_level(entry):
+            if isinstance(entry, Field):
+                return [diff(entry, x) for x in coords]
+            return [_diff_level(e) for e in entry]
+
+        ret.append([_diff_level(e) for e in prev])
+
+    if detach:
+        def recurse(level):
+            if isinstance(level, Field):
+                return level.value
+            return [recurse(e) for e in level]
+
+        ret = [recurse(level) for level in ret]
+    return ret
+
+
 def as_2d_column(x, dtype=None):
     """Coerce numpy/JAX input to a ``(N, 1)``-or-wider 2-D float array."""
     arr = jnp.asarray(x, dtype=dtype or get_default_dtype())
