@@ -36,7 +36,7 @@ from ._version_utils import deprecated_alias
 
 __all__ = [
     'Field', 'CoordSet', 'coordinates', 'coords_from_points', 'scalar_field',
-    'network_field', 'pin', 'substitute', 'cat', 'diff', 'safe_diff', 'unsafe_diff',
+    'network_field', 'composite', 'pin', 'substitute', 'cat', 'diff', 'safe_diff', 'unsafe_diff',
     'set_diff_method', 'get_diff_method', 'set_eval_mode', 'get_eval_mode',
     # field-aware math
     'exp', 'log', 'sin', 'cos', 'tan', 'tanh', 'sinh', 'cosh', 'sqrt', 'abs',
@@ -461,7 +461,20 @@ def _jet_safe_ops():
     return _JET_SAFE_OPS
 
 
-def _lift_call(op, *args, **op_kwargs):
+def composite(fn, *args):
+    """Combine several Fields through ONE composite elementwise function.
+
+    ``fn`` receives raw per-sample (or batched — it must be shape-polymorphic,
+    which plain jnp formulas are) values and returns one array. Compared to
+    building the same expression op-by-op, the whole formula propagates its
+    Taylor series as a single unit: its partial derivatives are evaluated with
+    ``jax.jvp`` on the fused formula, which keeps condition-reparameterization
+    overhead negligible next to the network evaluation.
+    """
+    return _lift_call(fn, *args, _composite=True)
+
+
+def _lift_call(op, *args, _composite=False, **op_kwargs):
     """Apply an elementwise jnp op across Fields / scalars / per-sample arrays.
 
     Non-Field array arguments whose leading dimension equals N are treated as
@@ -533,7 +546,7 @@ def _lift_call(op, *args, **op_kwargs):
     # and `x ** 2` keeps its closed-form power rule instead of jet's
     # exp(log x) float-pow path, which NaNs at 0).
     trule = None
-    if (not op_kwargs and op in _jet_safe_ops()
+    if (not op_kwargs and (_composite or op in _jet_safe_ops())
             and all(f.trule is not None for f in operand_fields)):
         def trule(ctx, _specs=tuple(combine_specs), _operands=tuple(operand_fields), _op=op):
             from .ops.taylor import teval, lifted_series

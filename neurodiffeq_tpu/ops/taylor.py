@@ -249,36 +249,39 @@ def _elementwise_manual(op, operands, order, c0_out):
             f1, f2 = rule(operands[0].c0, c0_out)
             return _chain_unary(operands[0], order, c0_out, f1, f2)
 
-    # generic fallback: partials of the op via jvp (correct for any
-    # differentiable elementwise op, costlier than the closed forms)
-    c0s = tuple(s.c0 for s in operands)
+    # generic fallback: per-direction "path jvp" — nest jvp through a scalar
+    # path parameter s, with args a(s) = a0 + a1 s + a2 s^2/2. The second
+    # s-derivative at 0 is exactly the second directional derivative including
+    # all cross terms, at ~4 formula evaluations per direction (vs the
+    # quadratic cost of assembling explicit Hessian partials). Correct for any
+    # differentiable elementwise op.
+    n_dirs = max(s.derivs[0].shape[0] for s in operands)
+    dtype = c0_out.dtype
 
-    def unit_tangents(i):
-        return tuple(
-            jnp.ones_like(c0s[j]) if j == i else jnp.zeros_like(c0s[j])
-            for j in range(nops)
-        )
+    d1_parts, d2_parts = [], []
+    for d in range(n_dirs):
+        def path(s, _d=d):
+            args = []
+            for sr in operands:
+                a = sr.c0 + s * sr.derivs[0][_d]
+                if order == 2:
+                    a = a + (0.5 * s * s) * sr.derivs[1][_d]
+                args.append(a)
+            return op(*args)
 
-    J = [jax.jvp(op, c0s, unit_tangents(i))[1] for i in range(nops)]
+        zero = jnp.zeros((), dtype)
+        one = jnp.ones((), dtype)
+        if order == 1:
+            d1_parts.append(jax.jvp(path, (zero,), (one,))[1])
+        else:
+            h1 = lambda s, _p=path: jax.jvp(_p, (s,), (one,))[1]
+            d1, d2 = jax.jvp(h1, (zero,), (one,))
+            d1_parts.append(d1)
+            d2_parts.append(d2)
 
-    c1 = 0.0
-    for i in range(nops):
-        c1 = c1 + J[i][None] * operands[i].derivs[0]
-    derivs = [c1]
-
+    derivs = [jnp.stack(d1_parts, axis=0)]
     if order == 2:
-        c2 = 0.0
-        for i in range(nops):
-            def dop_i(*args, _i=i):
-                return jax.jvp(op, args, unit_tangents(_i))[1]
-
-            for j in range(i, nops):
-                H_ij = jax.jvp(dop_i, c0s, unit_tangents(j))[1]
-                coeff = 1.0 if i == j else 2.0
-                c2 = c2 + coeff * H_ij[None] * operands[i].derivs[0] * operands[j].derivs[0]
-            c2 = c2 + J[i][None] * operands[i].derivs[1]
-        derivs.append(c2)
-
+        derivs.append(jnp.stack(d2_parts, axis=0))
     return TSeries(c0_out, derivs)
 
 
