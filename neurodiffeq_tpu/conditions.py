@@ -63,7 +63,8 @@ def _ann_field(net, params, coordinates, ith_unit=None):
             d1 = ctx.directions[:, sub][:, None, :]  # (D, 1, len): constant tangents
             zeros = jnp.zeros_like(d1)
             derivs = ([d1] + [zeros] * (ctx.order - 1))[:ctx.order]
-            out = net.taylor_apply(params, TSeries(c0, derivs), ctx)
+            meta = 'raw_coords' if sub == list(range(ctx.points.shape[1])) else None
+            out = net.taylor_apply(params, TSeries(c0, derivs, meta=meta), ctx)
             if ith_unit is not None:
                 out = slice_series(out, ith_unit)
             return out

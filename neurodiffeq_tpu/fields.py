@@ -646,7 +646,8 @@ def network_field(apply_fn, coords, ith_unit=None, module=None, params=None):
             d1 = ctx.directions[:, sub][:, None, :]  # (D, 1, len): constant tangents
             zeros = jnp.zeros_like(d1)
             derivs = ([d1] + [zeros] * (ctx.order - 1))[:ctx.order]
-            in_series = TSeries(c0, derivs)
+            meta = 'raw_coords' if sub == list(range(ctx.points.shape[1])) else None
+            in_series = TSeries(c0, derivs, meta=meta)
             out = module.taylor_apply(params, in_series, ctx)
             if ith_unit is not None:
                 out = slice_series(out, ith_unit)

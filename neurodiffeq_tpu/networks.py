@@ -262,9 +262,17 @@ class FCNN(Module):
 
     def taylor_apply(self, params, series, ctx):
         """Batched Taylor propagation: linear layers map coefficients exactly,
-        activations propagate via one jet call each — the whole network
-        forward (and all directional derivative chains) in one pass."""
-        from .ops.taylor import affine_series
+        activations via closed-form chain rules — the whole network forward
+        (and all directional derivative chains) in one pass. When the fused
+        Pallas kernel is enabled (``ops.enable_pallas()``) and applicable
+        (tanh layers, raw coordinate inputs, order <= 2), the entire
+        propagation runs as one TPU kernel."""
+        from .ops.taylor import affine_series, TSeries
+        from .ops.pallas_mlp import pallas_enabled, fcnn_taylor_pallas
+        if (pallas_enabled() and getattr(series, 'meta', None) == 'raw_coords'
+                and ctx.order <= 2 and all(type(a) is Tanh for a in self.actvs)):
+            outs = fcnn_taylor_pallas(series.c0, params['layers'], ctx.order, ctx.n_dirs)
+            return TSeries(outs[0], list(outs[1:]))
         layers = params['layers']
         actv_params = params['actv']
         for i, lp in enumerate(layers[:-1]):

@@ -11,5 +11,7 @@ ONE shared forward pass + cheap per-direction tangent algebra — measured ~4x
 over the generic path on TPU.
 """
 from .taylor import TSeries, TContext, teval, elementwise_series, constant_series
+from .pallas_mlp import enable_pallas, disable_pallas, pallas_enabled, fcnn_taylor_pallas
 
-__all__ = ['TSeries', 'TContext', 'teval', 'elementwise_series', 'constant_series']
+__all__ = ['TSeries', 'TContext', 'teval', 'elementwise_series', 'constant_series',
+           'enable_pallas', 'disable_pallas', 'pallas_enabled', 'fcnn_taylor_pallas']

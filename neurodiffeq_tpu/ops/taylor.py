@@ -38,11 +38,12 @@ __all__ = ['TSeries', 'TContext', 'teval', 'elementwise_series', 'constant_serie
 
 
 class TSeries:
-    __slots__ = ('c0', 'derivs')
+    __slots__ = ('c0', 'derivs', 'meta')
 
-    def __init__(self, c0, derivs):
+    def __init__(self, c0, derivs, meta=None):
         self.c0 = c0          # (N, m)
         self.derivs = derivs  # list of (D, N|1, m), orders 1..K
+        self.meta = meta      # e.g. 'raw_coords': c0 = points, tangents = I
 
     @property
     def order(self):
