@@ -79,6 +79,30 @@ def get_eval_mode():
     return _EVAL_MODE
 
 
+class eval_mode:
+    """Context manager scoping the evaluation strategy: ``with eval_mode('compose'): ...``.
+
+    Useful for workloads where one strategy measures faster (e.g. very large
+    collocation batches currently favor 'compose'; see ops/taylor.py)."""
+
+    def __init__(self, mode):
+        if mode not in ('taylor', 'compose'):
+            raise ValueError(f"Unknown eval mode {mode}")
+        self.mode = mode
+        self._prev = None
+
+    def __enter__(self):
+        global _EVAL_MODE
+        self._prev = _EVAL_MODE
+        _EVAL_MODE = self.mode
+        return self
+
+    def __exit__(self, *exc):
+        global _EVAL_MODE
+        _EVAL_MODE = self._prev
+        return False
+
+
 class CoordSet:
     """The shared batch of collocation points underlying a family of Fields.
 

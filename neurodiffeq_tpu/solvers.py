@@ -134,7 +134,7 @@ class BaseSolver(ABC, PretrainedSolver):
                  nets=None, train_generator=None, valid_generator=None, analytic_solutions=None,
                  optimizer=None, loss_fn=None, n_batches_train=1, n_batches_valid=4,
                  metrics=None, n_input_units=None, n_output_units=None,
-                 key=None, mesh=None,
+                 key=None, mesh=None, eval_mode=None,
                  # deprecated arguments
                  shuffle=None, batch_size=None):
         if shuffle:
@@ -153,6 +153,9 @@ class BaseSolver(ABC, PretrainedSolver):
         self.n_funcs = len(conditions)
         self.n_input_units = n_input_units
         self.mesh = mesh
+        # 'taylor' | 'compose' | None (None = the global default, see
+        # fields.set_eval_mode); applied while the loss is traced
+        self.eval_mode = eval_mode
 
         if nets is None:
             self.nets = [
@@ -350,6 +353,13 @@ class BaseSolver(ABC, PretrainedSolver):
 
     def _loss_and_metrics(self, params, cols):
         """The traced loss: enforce, residuals, loss + additional loss, metrics."""
+        if self.eval_mode is not None:
+            from .fields import eval_mode
+            with eval_mode(self.eval_mode):
+                return self._loss_and_metrics_inner(params, cols)
+        return self._loss_and_metrics_inner(params, cols)
+
+    def _loss_and_metrics_inner(self, params, cols):
         funcs, coord_fields = self._forward(params, cols)
         residual = self._residuals(funcs, coord_fields)
         loss = self.loss_fn(residual, funcs, coord_fields)
@@ -872,7 +882,7 @@ class Solver1D(BaseSolver):
     def __init__(self, ode_system, conditions, t_min=None, t_max=None,
                  nets=None, train_generator=None, valid_generator=None, analytic_solutions=None,
                  optimizer=None, loss_fn=None, n_batches_train=1, n_batches_valid=4,
-                 metrics=None, n_output_units=1, key=None, mesh=None,
+                 metrics=None, n_output_units=1, key=None, mesh=None, eval_mode=None,
                  batch_size=None, shuffle=None):
         if train_generator is None or valid_generator is None:
             if t_min is None or t_max is None:
@@ -892,7 +902,7 @@ class Solver1D(BaseSolver):
             analytic_solutions=analytic_solutions, optimizer=optimizer, loss_fn=loss_fn,
             n_batches_train=n_batches_train, n_batches_valid=n_batches_valid,
             metrics=metrics, n_input_units=1, n_output_units=n_output_units,
-            key=key, mesh=mesh, shuffle=shuffle, batch_size=batch_size,
+            key=key, mesh=mesh, eval_mode=eval_mode, shuffle=shuffle, batch_size=batch_size,
         )
 
     def get_solution(self, copy=True, best=True):
@@ -927,7 +937,7 @@ class Solver2D(BaseSolver):
     def __init__(self, pde_system, conditions, xy_min=None, xy_max=None,
                  nets=None, train_generator=None, valid_generator=None, analytic_solutions=None,
                  optimizer=None, loss_fn=None, n_batches_train=1, n_batches_valid=4,
-                 metrics=None, n_output_units=1, key=None, mesh=None,
+                 metrics=None, n_output_units=1, key=None, mesh=None, eval_mode=None,
                  batch_size=None, shuffle=None):
         if train_generator is None or valid_generator is None:
             if xy_min is None or xy_max is None:
@@ -947,7 +957,7 @@ class Solver2D(BaseSolver):
             analytic_solutions=analytic_solutions, optimizer=optimizer, loss_fn=loss_fn,
             n_batches_train=n_batches_train, n_batches_valid=n_batches_valid,
             metrics=metrics, n_input_units=2, n_output_units=n_output_units,
-            key=key, mesh=mesh, shuffle=shuffle, batch_size=batch_size,
+            key=key, mesh=mesh, eval_mode=eval_mode, shuffle=shuffle, batch_size=batch_size,
         )
 
     def get_solution(self, copy=True, best=True):
@@ -1010,7 +1020,7 @@ class SolverSpherical(BaseSolver):
     def __init__(self, pde_system, conditions, r_min=None, r_max=None,
                  nets=None, train_generator=None, valid_generator=None, analytic_solutions=None,
                  optimizer=None, loss_fn=None, n_batches_train=1, n_batches_valid=4,
-                 metrics=None, enforcer=None, n_output_units=1, key=None, mesh=None,
+                 metrics=None, enforcer=None, n_output_units=1, key=None, mesh=None, eval_mode=None,
                  shuffle=None, batch_size=None):
         if train_generator is None or valid_generator is None:
             if r_min is None or r_max is None:
@@ -1032,7 +1042,7 @@ class SolverSpherical(BaseSolver):
             analytic_solutions=analytic_solutions, optimizer=optimizer, loss_fn=loss_fn,
             n_batches_train=n_batches_train, n_batches_valid=n_batches_valid,
             metrics=metrics, n_input_units=3, n_output_units=n_output_units,
-            key=key, mesh=mesh, shuffle=shuffle, batch_size=batch_size,
+            key=key, mesh=mesh, eval_mode=eval_mode, shuffle=shuffle, batch_size=batch_size,
         )
 
     def _auto_enforce(self, net, params, cond, *coordinates):
@@ -1095,7 +1105,7 @@ class BundleSolver1D(BaseSolver):
                  theta_min=None, theta_max=None, eq_param_index=(),
                  nets=None, train_generator=None, valid_generator=None, analytic_solutions=None,
                  optimizer=None, loss_fn=None, n_batches_train=1, n_batches_valid=4,
-                 metrics=None, n_output_units=1, key=None, mesh=None,
+                 metrics=None, n_output_units=1, key=None, mesh=None, eval_mode=None,
                  batch_size=None, shuffle=None):
         if train_generator is None or valid_generator is None:
             if t_min is None or t_max is None:
@@ -1150,7 +1160,7 @@ class BundleSolver1D(BaseSolver):
             analytic_solutions=analytic_solutions, optimizer=optimizer, loss_fn=loss_fn,
             n_batches_train=n_batches_train, n_batches_valid=n_batches_valid,
             metrics=metrics, n_input_units=n_input_units, n_output_units=n_output_units,
-            key=key, mesh=mesh, shuffle=shuffle, batch_size=batch_size,
+            key=key, mesh=mesh, eval_mode=eval_mode, shuffle=shuffle, batch_size=batch_size,
         )
 
     def get_solution(self, copy=True, best=True):
