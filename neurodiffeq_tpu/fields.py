@@ -199,7 +199,7 @@ class Field:
     """
 
     __slots__ = ('fn', 'coords', 'aux', 'index', '_value',
-                 'trule', 'torder', '_combine', '_dinfo')
+                 'trule', 'torder', '_combine', '_dinfo', '_shape')
 
     def __init__(self, fn, coords, aux=(), index=None, value=None,
                  trule=None, torder=0, combine=None, dinfo=None):
@@ -212,6 +212,7 @@ class Field:
         self.torder = torder
         self._combine = combine
         self._dinfo = dinfo
+        self._shape = None
 
     # ------------------------------------------------------------------ value
     @property
@@ -286,15 +287,17 @@ class Field:
     def shape(self):
         if self._value is not None:
             return self._value.shape
-        d = self.coords.n_dims
-        dtype = self.coords.points.dtype
-        out = jax.eval_shape(
-            self.fn,
-            jax.ShapeDtypeStruct((d,), dtype),
-            *[jax.ShapeDtypeStruct(a.shape[1:], a.dtype) for a in self.aux],
-        )
-        m = 1 if out.ndim == 0 else out.shape[0]
-        return (self.coords.n_samples, m)
+        if self._shape is None:
+            d = self.coords.n_dims
+            dtype = self.coords.points.dtype
+            out = jax.eval_shape(
+                self.fn,
+                jax.ShapeDtypeStruct((d,), dtype),
+                *[jax.ShapeDtypeStruct(a.shape[1:], a.dtype) for a in self.aux],
+            )
+            m = 1 if out.ndim == 0 else out.shape[0]
+            self._shape = (self.coords.n_samples, m)
+        return self._shape
 
     @property
     def ndim(self):

@@ -447,7 +447,7 @@ class Interpolator:
 
     @staticmethod
     def _interpolate_by_thin_plate_spline(coefs, control_points, dimensions, stiffness=0.01):
-        from .fields import Field
+        from .fields import Field, composite
         import jax.numpy as jnp
 
         fields = [d for d in dimensions if isinstance(d, Field)]
@@ -460,15 +460,17 @@ class Interpolator:
         w_const = float(coefs[n_pnts])
         w_linear = np.asarray(coefs[n_pnts + 1:])                        # (d,)
 
-        cs = fields[0].coords
-        subfns = [d.fn for d in dimensions]
+        def tps(*vals):
+            # shape-polymorphic: per-sample scalars or (N, 1) columns
+            pt = jnp.stack([jnp.reshape(v, (-1,) if jnp.ndim(v) else ()) for v in vals], axis=-1)
+            diff2 = (pt[..., None, :] - cp_locs) ** 2                    # (..., M, d)
+            r2 = diff2.sum(axis=-1) + stiffness ** 2                     # (..., M)
+            out = (w_basis * (r2 * jnp.log(r2))).sum(axis=-1) + w_const + (pt * w_linear).sum(axis=-1)
+            return out[..., None] if out.ndim else out
 
-        def fn(xs):
-            pt = jnp.stack([jnp.reshape(f(xs), ()) for f in subfns])     # (d,)
-            r2 = ((pt[None, :] - cp_locs) ** 2).sum(axis=1) + stiffness ** 2
-            return (w_basis * (r2 * jnp.log(r2))).sum() + w_const + (w_linear * pt).sum()
-
-        return Field(fn, cs)
+        # `composite` gives the interpolant a Taylor rule (one fused expression),
+        # so irregular-boundary enforcement joins the hot evaluation path
+        return composite(tps, *dimensions)
 
     @staticmethod
     def _interpolate_np(coefs, control_points, dimensions):

@@ -53,6 +53,7 @@ __all__ = [
     'BaseSolver', 'GenericSolver', 'Solver1D', 'Solver2D', 'SolverSpherical',
     'BundleSolver1D', 'BaseSolution', 'GenericSolution', 'Solution1D',
     'Solution2D', 'SolutionSpherical', 'SolutionSphericalHarmonics', 'BundleSolution1D',
+    'load_exported_solution',
 ]
 
 # epochs per on-device scan in the no-callback fast path
@@ -842,6 +843,49 @@ class BaseSolution(ABC):
         if to_numpy:
             us = [np.asarray(u) for u in us]
         return us if len(self.nets) > 1 else us[0]
+
+    def export(self, n_coords, path=None, dtype=None):
+        """Serialize the solution evaluator as a portable StableHLO artifact
+        (``jax.export``) with a symbolic batch dimension — the TPU-native
+        deployment/serving counterpart of the reference's pickled solutions.
+
+        :param n_coords: number of coordinate inputs (1 for ODE solutions,
+            2 for 2-D PDEs, 3 for spherical, ...).
+        :param path: optional file to write the artifact to.
+        :param dtype: input dtype baked into the artifact (defaults to the
+            current default dtype).
+        :return: the serialized bytes.
+        """
+        from jax import export as jax_export
+        dtype = dtype or get_default_dtype()
+        params = self.params
+
+        def evaluate(points):
+            return tuple(self._eval(params, points))
+
+        (batch,) = jax_export.symbolic_shape("batch")
+        exported = jax_export.export(jax.jit(evaluate))(
+            jax.ShapeDtypeStruct((batch, n_coords), dtype))
+        blob = exported.serialize()
+        if path is not None:
+            with open(path, 'wb') as f:
+                f.write(blob)
+        return blob
+
+
+def load_exported_solution(path_or_bytes):
+    """Load a solution artifact written by :meth:`BaseSolution.export`.
+
+    :return: a callable ``(points (N, d)) -> tuple of (N, 1) arrays``.
+    """
+    from jax import export as jax_export
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        blob = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, 'rb') as f:
+            blob = f.read()
+    exported = jax_export.deserialize(blob)
+    return exported.call
 
 
 class GenericSolution(BaseSolution):

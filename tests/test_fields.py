@@ -59,6 +59,18 @@ def test_shape_check():
     assert np.allclose(d.value[:, 1], 0.0)
 
 
+def test_deprecated_x_alias():
+    t, = F.coordinates(np.random.rand(N))
+    u = t ** 2
+    with pytest.warns(DeprecationWarning):
+        d = diff(x=u, t=t)
+    assert np.allclose(d.value, 2 * t.value)
+    with pytest.warns(DeprecationWarning):
+        safe_diff(x=u, t=t)
+    with pytest.warns(DeprecationWarning):
+        unsafe_diff(x=u, t=t)
+
+
 def test_diff_requires_field_types():
     x, = F.coordinates(np.random.rand(N))
     with pytest.raises(TypeError):

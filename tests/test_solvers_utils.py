@@ -88,3 +88,63 @@ def test_save_requires_target():
 def test_get_source():
     src = get_source(_ode)
     assert src is not None and 'diff' in src
+
+
+def test_hub_upload_download_mocked(tmp_path, monkeypatch):
+    """Exercise the remote-hub plumbing with a fake requests module."""
+    import io
+    import sys
+    import types
+    import dill
+
+    solver = Solver1D(
+        ode_system=_ode,
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+    )
+    solver.fit(max_epochs=2, tqdm_file=None)
+
+    store = {}
+
+    class FakeResponse:
+        status_code = 200
+        content = b''
+
+        def raise_for_status(self):
+            pass
+
+    def fake_post(url, headers=None, files=None, data=None):
+        assert 'solutions/upload' in url
+        assert headers.get('api-key') == 'test-key'
+        store['blob'] = files['file'][1].read()
+        return FakeResponse()
+
+    def fake_get(url, headers=None):
+        resp = FakeResponse()
+        resp.content = store['blob']
+        return resp
+
+    fake_requests = types.ModuleType('requests')
+    fake_requests.post = fake_post
+    fake_requests.get = fake_get
+    monkeypatch.setitem(sys.modules, 'requests', fake_requests)
+    monkeypatch.setenv('NEURODIFF_API_KEY', 'test-key')
+
+    solver.save(name='my-solution', save_to_hub=True)
+    assert 'blob' in store
+    loaded_dict = dill.load(io.BytesIO(store['blob']))
+    assert loaded_dict['type_name'] == 'Solver1D'
+
+    loaded = Solver1D.load(name='my-solution')
+    assert loaded.global_epoch == 2
+
+
+def test_hub_upload_requires_api_key(monkeypatch):
+    solver = Solver1D(
+        ode_system=_ode,
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+    )
+    monkeypatch.delenv('NEURODIFF_API_KEY', raising=False)
+    with pytest.raises(RuntimeError):
+        solver.save(name='x', save_to_hub=True)
