@@ -11,17 +11,15 @@ Configs (BASELINE.json "configs"):
 import time
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from neurodiffeq_tpu import fields as F
 from neurodiffeq_tpu.fields import diff
 from neurodiffeq_tpu.networks import FCNN, SinActv
 from neurodiffeq_tpu.conditions import IVP, DirichletBVP2D, DirichletBVPSpherical, BundleIVP, NoCondition
-from neurodiffeq_tpu.generators import Generator2D, GeneratorSpherical
+from neurodiffeq_tpu.generators import Generator2D
 from neurodiffeq_tpu.solvers import Solver1D, Solver2D, SolverSpherical, BundleSolver1D
 from neurodiffeq_tpu.operators import spherical_laplacian
-from neurodiffeq_tpu.utils import set_seed, next_rng_key
+from neurodiffeq_tpu.utils import set_seed
 
 
 def _timed_fit(solver, epochs, points_per_epoch):

@@ -41,7 +41,6 @@ matmul passes, ~4e-3 relative difference).
 """
 import functools
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

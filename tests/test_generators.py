@@ -3,7 +3,6 @@ tests/test_generators.py)."""
 import numpy as np
 import pytest
 import jax
-import jax.numpy as jnp
 
 from neurodiffeq_tpu import generators as G
 from neurodiffeq_tpu.utils import next_rng_key

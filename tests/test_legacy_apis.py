@@ -6,7 +6,7 @@ import pytest
 
 from neurodiffeq_tpu import fields as F
 from neurodiffeq_tpu.fields import diff
-from neurodiffeq_tpu.conditions import IVP, DirichletBVP2D, NoCondition, DirichletBVPSpherical
+from neurodiffeq_tpu.conditions import IVP, DirichletBVP2D, NoCondition
 from neurodiffeq_tpu.networks import FCNN
 from neurodiffeq_tpu import ode, pde, pde_spherical
 

@@ -12,7 +12,6 @@ from neurodiffeq_tpu.conditions import IVP, NoCondition, DirichletBVPSphericalBa
 from neurodiffeq_tpu.function_basis import RealSphericalHarmonics
 from neurodiffeq_tpu.networks import FCNN
 from neurodiffeq_tpu.fields import diff
-from neurodiffeq_tpu import fields as F
 
 
 @pytest.fixture

@@ -6,10 +6,8 @@ import pytest
 import jax
 
 from neurodiffeq_tpu import fields as F
-from neurodiffeq_tpu.fields import diff
 from neurodiffeq_tpu.networks import FCNN
 from neurodiffeq_tpu import operators as ops
-from neurodiffeq_tpu.utils import next_rng_key
 
 N = 1000
 EPS = 1e-4

@@ -4,12 +4,11 @@ import numpy as np
 import pytest
 import jax
 
-from neurodiffeq_tpu.parallel import make_mesh, points_sharding, shard_points
-from neurodiffeq_tpu.solvers import Solver1D, Solver2D
-from neurodiffeq_tpu.conditions import IVP, DirichletBVP2D
-from neurodiffeq_tpu.generators import Generator1D, Generator2D
+from neurodiffeq_tpu.parallel import make_mesh, shard_points
+from neurodiffeq_tpu.solvers import Solver1D
+from neurodiffeq_tpu.conditions import IVP
+from neurodiffeq_tpu.generators import Generator1D
 from neurodiffeq_tpu.fields import diff
-from neurodiffeq_tpu import fields as F
 
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multiple devices")
 

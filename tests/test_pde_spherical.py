@@ -7,7 +7,6 @@ import pytest
 from scipy.special import erf
 
 from neurodiffeq_tpu import fields as F
-from neurodiffeq_tpu.fields import diff
 from neurodiffeq_tpu.networks import FCNN
 from neurodiffeq_tpu.operators import spherical_laplacian
 from neurodiffeq_tpu.function_basis import RealSphericalHarmonics, HarmonicsLaplacian

@@ -2,13 +2,11 @@
 tests/test_solvers_utils.py is a stub; these are real)."""
 import numpy as np
 import pytest
-import jax
 
 from neurodiffeq_tpu.solvers import Solver1D, Solver2D
 from neurodiffeq_tpu.solvers_utils import SolverConfig, get_source
 from neurodiffeq_tpu.conditions import IVP, NoCondition
 from neurodiffeq_tpu.fields import diff
-from neurodiffeq_tpu import fields as F
 
 
 def _ode(u, t):

@@ -1,7 +1,6 @@
 """Temporal (penalty-BC) subsystem tests: generators, approximators, training
 routines, heat-equation convergence (parity with reference tests/test_temporal.py)."""
 import numpy as np
-import pytest
 import optax
 
 from neurodiffeq_tpu import temporal
