@@ -10,8 +10,12 @@ fields, jitted train steps with on-device sampling, and mesh-sharded
 collocation batches.
 """
 import sys as _sys
+import warnings as _warnings
 
 __version__ = '0.1.0'
+
+# like the reference (__init__.py:23-25), always surface deprecation warnings
+_warnings.simplefilter('always', FutureWarning)
 
 from . import utils
 from . import fields

@@ -129,15 +129,26 @@ class StopCallback(ActionCallback):
 
 
 class CheckpointCallback(ActionCallback):
-    r"""Saves the solver internals (numpy-ified params/optimizer state and
-    histories) to a timestamped ``.internals`` file in ``ckpt_dir``."""
+    r"""Saves solver state to ``ckpt_dir`` at each call.
 
-    def __init__(self, ckpt_dir, logger=None):
+    :param format: 'internals' (default; timestamped dill dump of
+        ``solver.get_internals('all')`` with numpy-ified pytrees — the
+        reference's ``callbacks.py:129-155`` semantics) or 'orbax'
+        (``orbax.checkpoint`` of the params/opt-state pytrees + a JSON
+        metadata sidecar; async-friendly array checkpointing).
+    """
+
+    def __init__(self, ckpt_dir, logger=None, format='internals'):
         super().__init__(logger=logger)
+        if format not in ('internals', 'orbax'):
+            raise ValueError(f"Unknown checkpoint format {format}")
         self.ckpt_dir = ckpt_dir
+        self.format = format
         _safe_mkdir(ckpt_dir)
 
     def __call__(self, solver):
+        if self.format == 'orbax':
+            return self._save_orbax(solver)
         import dill
         import jax
 
@@ -152,6 +163,58 @@ class CheckpointCallback(ActionCallback):
             dill.dump(internals, f)
             self.logger.info(f"Saved checkpoint to {fname} at local epoch = {solver.local_epoch} "
                              f"(global epoch = {solver.global_epoch})")
+
+    def _save_orbax(self, solver):
+        import json
+        import orbax.checkpoint as ocp
+
+        step = solver.global_epoch
+        path = os.path.abspath(os.path.join(self.ckpt_dir, f"step_{step}"))
+        ckpt = {
+            'params': solver.params,
+            'opt_state': solver.opt_state,
+        }
+        if solver.best_params is not None:
+            ckpt['best_params'] = solver.best_params
+        with ocp.StandardCheckpointer() as checkpointer:
+            checkpointer.save(path, ckpt, force=True)
+        meta = {
+            'global_epoch': step,
+            'lowest_loss': solver.lowest_loss,
+            'metrics_history': solver.metrics_history,
+        }
+        with open(os.path.join(self.ckpt_dir, f"step_{step}.meta.json"), 'w') as f:
+            json.dump(meta, f)
+        self.logger.info(f"Saved orbax checkpoint to {path}")
+
+    @staticmethod
+    def restore_orbax(solver, ckpt_dir, step):
+        """Restore params/opt-state (+histories) saved with format='orbax'."""
+        import json
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
+        target = {'params': solver.params, 'opt_state': solver.opt_state}
+        if solver.best_params is not None:
+            target['best_params'] = solver.best_params
+        with ocp.StandardCheckpointer() as checkpointer:
+            try:
+                restored = checkpointer.restore(path, target)
+            except BaseException:
+                # saved with best_params but target lacks it (or vice versa)
+                target['best_params'] = solver.params
+                restored = checkpointer.restore(path, target)
+        solver.params = restored['params']
+        solver.opt_state = restored['opt_state']
+        if 'best_params' in restored:
+            solver.best_params = restored['best_params']
+        meta_path = os.path.join(ckpt_dir, f"step_{step}.meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            solver.metrics_history = meta['metrics_history']
+            solver.lowest_loss = meta['lowest_loss']
+        return solver
 
 
 class ReportCallback(ActionCallback):

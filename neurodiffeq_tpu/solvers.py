@@ -56,8 +56,10 @@ __all__ = [
     'load_exported_solution',
 ]
 
-# epochs per on-device scan in the no-callback fast path
-_FIT_CHUNK = 128
+# epochs per on-device scan in the no-callback fast path (large chunks
+# amortize the per-call host dispatch, which costs ~1 ms over some
+# TPU transports; outputs per epoch are a handful of scalars)
+_FIT_CHUNK = 512
 
 
 def _requires_closure(optimizer):

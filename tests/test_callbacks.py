@@ -177,6 +177,31 @@ def test_checkpoint_callback(tmp_path, solver):
     assert isinstance(leaf, np.ndarray)
 
 
+def test_checkpoint_callback_orbax(tmp_path):
+    s = Solver1D(
+        ode_system=lambda u, t: [diff(u, t) + u],
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+    )
+    s.fit(max_epochs=3, tqdm_file=None)
+    ckpt = cb.CheckpointCallback(str(tmp_path), format='orbax')
+    ckpt(s)
+
+    # restore into a fresh solver and check exact state recovery
+    s2 = Solver1D(
+        ode_system=lambda u, t: [diff(u, t) + u],
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+    )
+    cb.CheckpointCallback.restore_orbax(s2, str(tmp_path), step=3)
+    assert s2.global_epoch == 3
+    import jax
+    for a, b in zip(jax.tree.leaves(s.params), jax.tree.leaves(s2.params)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+    with pytest.raises(ValueError):
+        cb.CheckpointCallback(str(tmp_path), format='bogus')
+
+
 def test_set_loss_fn_callback(solver):
     c = cb.SetLossFn('l1')
     c(solver)
