@@ -280,6 +280,37 @@ def test_bundle_solver():
         assert err < 5e-2, f"lambda={lam} err={err}"
 
 
+def test_training_with_non_jittable_generator():
+    """FilterGenerator has dynamic shapes -> the solver must fall back to the
+    eager host path and still train correctly."""
+    from neurodiffeq_tpu.generators import FilterGenerator
+    import numpy as np
+    train = FilterGenerator(Generator1D(64, 0, 2, method='equally-spaced-noisy'),
+                            filter_fn=lambda xs: np.asarray(xs[0]) > 0.1)
+    valid = Generator1D(32, 0, 2, method='equally-spaced')
+    assert not train.jittable
+    solver = Solver1D(
+        ode_system=lambda u, t: [diff(u, t) + u],
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+        train_generator=train, valid_generator=valid,
+    )
+    solver.fit(max_epochs=5, tqdm_file=None)
+    assert solver.global_epoch == 5
+    assert solver.best_params is not None
+
+
+def test_eve_callback_integration():
+    """EveCallback growing n_batches mid-fit must trigger recompilation and
+    keep training consistent."""
+    from neurodiffeq_tpu.callbacks import EveCallback
+    eve = EveCallback(base_value=1e6, double_at=0.5, n_0=1, n_max=4)
+    solver = exp_decay_solver()
+    solver.fit(max_epochs=6, callbacks=[eve], tqdm_file=None)
+    assert solver.global_epoch == 6
+    assert solver.n_batches['train'] >= 2  # loss far below base_value -> grew
+
+
 def test_fit_resume_continues_history():
     solver = exp_decay_solver()
     solver.fit(max_epochs=3, tqdm_file=None)
