@@ -46,15 +46,23 @@ def bench_ours():
     _ = float(np.asarray(outs[0][-1]))
 
     n_chunks = max(BENCH_EPOCHS // chunk, 1)
+    all_losses = []
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         (params, opt_state, best, lowest), outs = chunk_fn(
             params, opt_state, best, lowest, next_rng_key())
-    final_loss = float(np.asarray(outs[0][-1]))
+        all_losses.append(outs[0])
+    final_loss = float(np.asarray(all_losses[-1][-1]))
     dt = time.perf_counter() - t0
 
     evals_per_sec = n_chunks * chunk * n_points / dt
-    return evals_per_sec, final_loss
+    # second north-star metric: epochs + wall-clock to target residual MSE
+    losses = np.concatenate([np.asarray(x) for x in all_losses])
+    target = 1e-3
+    hits = np.nonzero(losses < target)[0]
+    epochs_to_target = int(hits[0]) + 1 if hits.size else None
+    secs_to_target = (epochs_to_target / (n_chunks * chunk / dt)) if hits.size else None
+    return evals_per_sec, final_loss, epochs_to_target, secs_to_target
 
 
 def bench_torch_cpu():
@@ -104,7 +112,7 @@ def bench_torch_cpu():
 
 
 def main():
-    ours, final_loss = bench_ours()
+    ours, final_loss, epochs_to_target, secs_to_target = bench_ours()
     try:
         baseline = bench_torch_cpu()
     except Exception:
@@ -118,6 +126,8 @@ def main():
         "extra": {
             "torch_cpu_baseline_points_per_sec": round(baseline, 1) if baseline else None,
             "final_train_loss": final_loss,
+            "epochs_to_residual_mse_1e-3": epochs_to_target,
+            "seconds_to_residual_mse_1e-3": round(secs_to_target, 4) if secs_to_target else None,
             "batch_points": GRID[0] * GRID[1],
             "hidden": HIDDEN,
             "epochs_timed": BENCH_EPOCHS,

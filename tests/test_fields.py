@@ -159,6 +159,21 @@ def test_reductions():
     assert np.isclose((x ** 2).sum(), (np.asarray(x.value) ** 2).sum())
 
 
+def test_composite_fused_expression():
+    net = FCNN(n_input_units=2, n_output_units=1, hidden_units=(8, 8))
+    params = net.init(jax.random.PRNGKey(3))
+    x, y = F.coordinates(np.random.rand(N), np.random.rand(N))
+    from neurodiffeq_tpu.conditions import _ann_field
+    u = _ann_field(net, params, (x, y))
+
+    fused = F.composite(lambda u_, x_, y_: jnp.exp(-u_) * jnp.sin(x_) + y_ ** 2, u, x, y)
+    ref = F.exp(-u) * F.sin(x) + y ** 2
+    assert np.allclose(fused.value, ref.value, atol=1e-12)
+    # derivatives through the composite match the op-by-op expression
+    assert np.allclose(diff(fused, x).value, diff(ref, x).value, atol=1e-8)
+    assert np.allclose(diff(fused, y, 2).value, diff(ref, y, 2).value, atol=1e-8)
+
+
 def test_works_under_jit():
     def loss(pts):
         x, y = F.coords_from_points(pts)

@@ -311,6 +311,34 @@ def test_eve_callback_integration():
     assert solver.n_batches['train'] >= 2  # loss far below base_value -> grew
 
 
+def test_ensemble_condition_training():
+    """One multi-output net + EnsembleCondition solving a coupled system."""
+    from neurodiffeq_tpu.conditions import EnsembleCondition
+
+    net = FCNN(1, 2, hidden_units=(32, 32), actv=SinActv)
+    cond = EnsembleCondition(IVP(t_0=0.0, u_0=0.0), IVP(t_0=0.0, u_0=1.0))
+
+    def system(uv, t):
+        u = uv[:, 0:1]
+        v = uv[:, 1:2]
+        return [diff(u, t) - v, diff(v, t) + u]
+
+    solver = Solver1D(
+        ode_system=system,
+        conditions=[cond],
+        t_min=0.0, t_max=np.pi,
+        nets=[net],
+        n_output_units=2,
+    )
+    solver.fit(max_epochs=1500, tqdm_file=None)
+    sol = solver.get_solution()
+    ts = np.linspace(0, np.pi, 40)
+    uv = np.asarray(sol(ts, no_reshape=True))
+    assert uv.shape == (40, 2)
+    assert np.abs(uv[:, 0] - np.sin(ts)).max() < 5e-2
+    assert np.abs(uv[:, 1] - np.cos(ts)).max() < 5e-2
+
+
 def test_fit_resume_continues_history():
     solver = exp_decay_solver()
     solver.fit(max_epochs=3, tqdm_file=None)
