@@ -34,7 +34,8 @@ def _timed_fit(solver, epochs, points_per_epoch):
 
 
 def bench_lotka_volterra(epochs=3000):
-    """README exemplar config (reference README.md:85-94)."""
+    """README exemplar config (reference README.md:85-94), with a torch-CPU
+    baseline implementing the reference's exact training-step semantics."""
     set_seed(0)
     alpha = beta = delta = gamma = 1.0
     solver = Solver1D(
@@ -51,8 +52,76 @@ def bench_lotka_volterra(epochs=3000):
     ref = odeint(lambda y, t: [y[0] - y[0] * y[1], y[0] * y[1] - y[1]], [1.5, 1.0], ts)
     prey, pred = sol(ts, to_numpy=True)
     err = max(np.abs(prey - ref[:, 0]).max(), np.abs(pred - ref[:, 1]).max())
+    try:
+        torch_eps = _torch_lotka_volterra_epochs_per_sec()
+    except Exception:
+        torch_eps = None
     return dict(name='lotka_volterra', epochs_per_sec=round(eps, 1),
-                points_per_sec=round(pps, 1), max_err_vs_odeint=round(float(err), 5))
+                points_per_sec=round(pps, 1), max_err_vs_odeint=round(float(err), 5),
+                torch_cpu_epochs_per_sec=round(torch_eps, 2) if torch_eps else None,
+                vs_torch_cpu=round(eps / torch_eps, 1) if torch_eps else None)
+
+
+def _torch_lotka_volterra_epochs_per_sec(n_epochs=40):
+    """Reference-semantics torch step: 1 train batch (32 noisy pts, fresh
+    autograd first derivatives, IVP reparameterization) + 4 valid batches."""
+    import os
+    import torch
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    def make_net():
+        return torch.nn.Sequential(
+            torch.nn.Linear(1, 32), _TorchSin(), torch.nn.Linear(32, 32),
+            _TorchSin(), torch.nn.Linear(32, 1),
+        ).double()
+
+    net_u, net_v = make_net(), make_net()
+    opt = torch.optim.Adam(list(net_u.parameters()) + list(net_v.parameters()), lr=1e-3)
+    base = torch.linspace(0.1, 12.0, 32).double().reshape(-1, 1)
+    noise = ((12.0 - 0.1) / 32) / 4
+
+    def losses(t):
+        t = t.requires_grad_()
+        blend = 1 - torch.exp(-(t - 0.1))
+        u = 1.5 + blend * net_u(t)
+        v = 1.0 + blend * net_v(t)
+        ones = torch.ones_like(u)
+        du, = torch.autograd.grad(u, t, grad_outputs=ones, create_graph=True)
+        dv, = torch.autograd.grad(v, t, grad_outputs=ones, create_graph=True)
+        r1 = du - (u - u * v)
+        r2 = dv - (u * v - v)
+        return (r1 ** 2).mean() + (r2 ** 2).mean()
+
+    def epoch():
+        opt.zero_grad()
+        loss = losses(base + torch.randn_like(base) * noise)
+        loss.backward()
+        opt.step()
+        for _ in range(4):  # validation batches
+            with torch.no_grad():
+                pass
+            losses(base.clone())
+
+    for _ in range(5):
+        epoch()
+    t0 = time.perf_counter()
+    for _ in range(n_epochs):
+        epoch()
+    return n_epochs / (time.perf_counter() - t0)
+
+
+class _TorchSin:
+    """Sin activation for the torch baseline (module-level for picklability)."""
+
+    def __new__(cls):
+        import torch
+
+        class Sin(torch.nn.Module):
+            def forward(self, x):
+                return torch.sin(x)
+
+        return Sin()
 
 
 def bench_laplace2d(epochs=2000):
