@@ -273,13 +273,17 @@ class SimpleTensorboardCallback(ActionCallback):
 
     def __init__(self, writer=None, logger=None):
         super().__init__(logger=logger)
-        if not writer:
-            self.logger.info('No writer specified, creating a SummaryWriter automatically.')
+        if writer:
+            # Any object with ``add_scalar(tag, scalar_value, global_step)``
+            # works; tensorboard itself is only needed to create the default.
+            self.writer = writer
+            return
+        self.logger.info('No writer specified, creating a SummaryWriter automatically.')
         try:
             from torch.utils.tensorboard import SummaryWriter
         except ImportError as e:  # pragma: no cover
             raise ImportError(f"TensorBoard doesn't seem to be installed. See the following\n{e}")
-        self.writer = writer or SummaryWriter()
+        self.writer = SummaryWriter()
 
     def __call__(self, solver):
         for name, values in solver.metrics_history.items():

@@ -178,6 +178,7 @@ def test_checkpoint_callback(tmp_path, solver):
 
 
 def test_checkpoint_callback_orbax(tmp_path):
+    pytest.importorskip('orbax.checkpoint')
     s = Solver1D(
         ode_system=lambda u, t: [diff(u, t) + u],
         conditions=[IVP(t_0=0.0, u_0=1.0)],
@@ -200,6 +201,23 @@ def test_checkpoint_callback_orbax(tmp_path):
         assert np.allclose(np.asarray(a), np.asarray(b))
     with pytest.raises(ValueError):
         cb.CheckpointCallback(str(tmp_path), format='bogus')
+
+
+def test_simple_tensorboard_callback(solver):
+    # any object with add_scalar works; tensorboard itself is only needed
+    # for the default writer (reference callbacks.py:233-262 semantics)
+    class _Writer:
+        def __init__(self):
+            self.records = []
+
+        def add_scalar(self, tag, scalar_value, global_step):
+            self.records.append((tag, float(scalar_value), global_step))
+
+    w = _Writer()
+    cb.SimpleTensorboardCallback(writer=w)(solver)
+    tags = {r[0] for r in w.records}
+    assert 'train_loss' in tags and 'valid_loss' in tags
+    assert all(r[2] == solver.global_epoch for r in w.records)
 
 
 def test_set_loss_fn_callback(solver):
