@@ -131,3 +131,26 @@ def test_custom_basis():
     basis = fb.CustomBasis([lambda x: x, lambda x: x ** 2])
     out = basis(x)
     assert out.shape == (N, 2)
+
+
+def test_zonal_harmonics_laplacian_matches_direct_laplacian():
+    """Zonal basis-space laplacian vs direct spherical laplacian of the
+    expanded function (reference function_basis.py:92-118)."""
+    K = 3  # degrees 0..2
+    net = FCNN(1, K, hidden_units=(8, 8))
+    params = net.init(jax.random.PRNGKey(2))
+
+    r = np.random.rand(N) * 1.5 + 0.5
+    th = np.random.rand(N) * np.pi * 0.9 + 0.05
+    ph = np.random.rand(N) * 2 * np.pi
+    rf, thf, phf = F.coordinates(r, th, ph)
+
+    coeffs = F.network_field(lambda xs: net.apply(params, xs[0:1]), (rf, thf, phf))
+    zl = fb.ZonalSphericalHarmonicsLaplacian(max_degree=2)
+    lap_basis = zl(coeffs, rf, thf, phf)
+
+    Y = fb.ZonalSphericalHarmonics(max_degree=2)
+    u = (coeffs * Y(thf, phf)).sum(axis=1, keepdims=True)
+    lap_direct = spherical_laplacian(u, rf, thf, phf)
+
+    assert np.allclose(lap_basis.value, lap_direct.value, atol=1e-6)

@@ -149,3 +149,19 @@ def test_deprecated_class_aliases():
             conditions=[NoCondition()],
             r_min=0.5, r_max=1.0,
         )
+
+
+def test_solve2d_system():
+    """Two coupled trivial PDEs through the deprecated system API
+    (reference pde.py:55-338)."""
+    with pytest.warns((FutureWarning, DeprecationWarning)):
+        solution, history = pde.solve2D_system(
+            pde_system=lambda u, v, x, y: [diff(u, x) + u - v, diff(v, y) + v - u],
+            conditions=[NoCondition(), NoCondition()],
+            xy_min=(0, 0), xy_max=(1, 1),
+            max_epochs=5,
+        )
+    xs, ys = np.random.rand(9), np.random.rand(9)
+    out = solution(xs, ys)
+    assert len(out) == 2 and np.asarray(out[0]).shape == (9,)
+    assert len(history['train_loss']) == 5

@@ -1,6 +1,7 @@
 """Utility tests (parity with reference tests/test_utils.py: seeding,
 column helpers; plus get_residual_info which the reference leaves untested)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from neurodiffeq_tpu import utils
@@ -63,3 +64,16 @@ def test_get_residual_info():
     # detach=False keeps Fields
     info = utils.get_residual_info([u], [x], diff_eqs, highest_order=0, detach=False)
     assert isinstance(info[0][0], F.Field)
+
+
+def test_warn_deprecate_class():
+    from neurodiffeq_tpu._version_utils import warn_deprecate_class
+
+    class New:
+        def __init__(self, a):
+            self.a = a
+
+    Old = warn_deprecate_class(New)
+    with pytest.warns(FutureWarning):
+        obj = Old(5)
+    assert isinstance(obj, New) and obj.a == 5
