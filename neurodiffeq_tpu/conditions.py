@@ -60,8 +60,13 @@ def _ann_field(net, params, coordinates, ith_unit=None):
             from .ops.taylor import TSeries, slice_series
             sub = list(idxs)
             c0 = ctx.points[:, sub]
-            d1 = ctx.directions[:, sub][:, None, :]  # (D, 1, len): constant tangents
-            zeros = jnp.zeros_like(d1)
+            # constant tangents, in the context's layout
+            if ctx.stacked:
+                d1 = ctx.directions[:, sub][:, None, :]  # (D, 1, len)
+                zeros = jnp.zeros_like(d1)
+            else:
+                d1 = tuple(ctx.directions[d, sub][None, :] for d in range(ctx.n_dirs))
+                zeros = tuple(jnp.zeros_like(x) for x in d1)
             derivs = ([d1] + [zeros] * (ctx.order - 1))[:ctx.order]
             meta = 'raw_coords' if sub == list(range(ctx.points.shape[1])) else None
             out = net.taylor_apply(params, TSeries(c0, derivs, meta=meta), ctx)

@@ -272,7 +272,12 @@ class FCNN(Module):
         if (pallas_enabled() and getattr(series, 'meta', None) == 'raw_coords'
                 and ctx.order <= 2 and all(type(a) is Tanh for a in self.actvs)):
             outs = fcnn_taylor_pallas(series.c0, params['layers'], ctx.order, ctx.n_dirs)
-            return TSeries(outs[0], list(outs[1:]))
+            # the kernel returns stacked (D, N, m) coefficients; re-layout to
+            # match the context
+            if ctx.stacked:
+                return TSeries(outs[0], list(outs[1:]))
+            return TSeries(outs[0],
+                           [tuple(o[d] for d in range(ctx.n_dirs)) for o in outs[1:]])
         layers = params['layers']
         actv_params = params['actv']
         for i, lp in enumerate(layers[:-1]):

@@ -15,13 +15,25 @@ N = 40
 
 
 def both_modes(make_expr, atol=1e-9):
+    """Evaluate under taylor (both derivative layouts) and compose modes."""
+    from neurodiffeq_tpu.ops import taylor as T
     results = {}
     for mode in ('taylor', 'compose'):
         F.set_eval_mode(mode)
         results[mode] = np.asarray(make_expr().value)
-    F.set_eval_mode('taylor')
+    # taylor again with the per-direction (large-batch) layout forced
+    old = T._STACKED_MAX_BATCH
+    T._STACKED_MAX_BATCH = -1
+    try:
+        F.set_eval_mode('taylor')
+        results['taylor_tuple'] = np.asarray(make_expr().value)
+    finally:
+        T._STACKED_MAX_BATCH = old
+        F.set_eval_mode('taylor')
     assert np.allclose(results['taylor'], results['compose'], atol=atol), \
         f"max dev {np.abs(results['taylor'] - results['compose']).max()}"
+    assert np.allclose(results['taylor_tuple'], results['compose'], atol=atol), \
+        f"tuple-layout max dev {np.abs(results['taylor_tuple'] - results['compose']).max()}"
     return results['taylor']
 
 
