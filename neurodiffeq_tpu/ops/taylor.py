@@ -70,8 +70,9 @@ class TSeries:
 # - stacked (D, N, m) arrays issue ~half the kernels -> 25% faster at 1k pts
 #   where per-kernel overhead dominates (24.9M vs 19.5M pts/s);
 # - per-direction (N, m) tuples let XLA fuse each direction's whole chain ->
-#   2.8x faster at 65k pts (33M vs 11.7M) where HBM traffic dominates.
-_STACKED_MAX_BATCH = 4096
+#   2.8x faster at 65k pts (33M vs 11.7M) where HBM traffic dominates, and
+#   already +5-12% at 4096 pts; the two tie at 2048 (measurement floor).
+_STACKED_MAX_BATCH = 2048
 
 
 class TContext:
