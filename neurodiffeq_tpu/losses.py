@@ -25,7 +25,7 @@ def _l2_norm(residual, funcs, coords):
 
 
 def _infinity_norm(residual, funcs, coords):
-    return _value(residual).max(axis=1).mean()
+    return abs(_value(residual)).max(axis=1).mean()
 
 
 def _residual_grads(residual, coords):

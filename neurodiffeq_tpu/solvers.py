@@ -773,7 +773,7 @@ class BaseSolver(ABC, PretrainedSolver):
         coord_fields = coords_from_points(points)
         funcs = [
             self.compute_func_val(net, p, cond, *coord_fields)
-            for net, p, cond in zip(self.nets, self._expand_params(params), self.conditions)
+            for net, p, cond in zip(self.nets, params, self.conditions)
         ]
         residuals = self.diff_eqs(*funcs, *coord_fields)
         if isinstance(residuals, Field):

@@ -135,6 +135,50 @@ def test_custom_loss_fn_str():
         assert solver.global_epoch == 2
 
 
+def test_infinity_loss_is_nonnegative():
+    # regression: the reference takes residual.abs().max(dim=1); a signed max
+    # would be unbounded below and reward large negative residuals.
+    import jax.numpy as jnp
+    from neurodiffeq_tpu.losses import _losses
+    r = F.coords_from_points(jnp.array([[-3.0], [-5.0]]))[0]
+    val = float(_losses['infinity'](r - 0.0, None, None))
+    assert np.isclose(val, 4.0)  # mean of |−3|, |−5| row maxima
+    assert val > 0
+
+
+def test_get_residuals_with_shared_and_distinct_nets():
+    # regression: a duplicated shared net preceding a distinct net must not
+    # re-expand the already-expanded parameter list (nets=[A,A,B]).
+    shared = FCNN(n_input_units=1, n_output_units=1, hidden_units=(8,))
+    other = FCNN(n_input_units=1, n_output_units=1, hidden_units=(8,))
+
+    def system(u1, u2, v, t):
+        return [diff(u1, t) + u1, diff(u2, t) + u2, diff(v, t) - v]
+
+    solver = Solver1D(
+        ode_system=system,
+        conditions=[NoCondition(), NoCondition(), NoCondition()],
+        nets=[shared, shared, other],
+        t_min=0.0, t_max=1.0,
+    )
+    solver.fit(max_epochs=3, tqdm_file=None)
+    ts = np.linspace(0.1, 0.9, 7)
+    r1, r2, r3 = solver.get_residuals(ts, to_numpy=True, best=False)
+    # the two shared-net residuals agree; the distinct net's residual is
+    # computed with ITS params: evaluate it directly and compare.
+    assert np.allclose(r1, r2)
+    import jax.numpy as jnp
+    tcol = jnp.asarray(ts).reshape(-1, 1)
+    params_b = solver._expand_params(solver.params)[2]
+    v = other.apply(params_b, tcol)
+    got_from_a = shared.apply(solver._expand_params(solver.params)[0], tcol)
+    assert not np.allclose(np.asarray(v), np.asarray(got_from_a))
+    coord_fields = F.coords_from_points(tcol)
+    v_field = solver.compute_func_val(other, params_b, solver.conditions[2], *coord_fields)
+    expected_r3 = (diff(v_field, coord_fields[0]) - v_field).value
+    assert np.allclose(r3.reshape(-1, 1), np.asarray(expected_r3))
+
+
 def test_custom_loss_fn_callable():
     def myloss(residual, funcs, coords):
         return (residual.value ** 2).mean() + 0.0
