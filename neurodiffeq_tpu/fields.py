@@ -199,10 +199,10 @@ class Field:
     """
 
     __slots__ = ('fn', 'coords', 'aux', 'index', '_value',
-                 'trule', 'torder', '_combine', '_dinfo', '_shape')
+                 'trule', 'torder', '_combine', '_dinfo', '_shape', 'tvalid')
 
     def __init__(self, fn, coords, aux=(), index=None, value=None,
-                 trule=None, torder=0, combine=None, dinfo=None):
+                 trule=None, torder=0, combine=None, dinfo=None, tvalid=None):
         self.fn = fn
         self.coords = coords
         self.aux = tuple(aux)
@@ -213,6 +213,13 @@ class Field:
         self._combine = combine
         self._dinfo = dinfo
         self._shape = None
+        # Static per-direction validity of this field's Taylor series:
+        # None = derivative entries valid along EVERY coordinate direction;
+        # a frozenset = valid only along those directions (derivative fields
+        # carry only pure partials along their own direction — entries along
+        # other directions would be mixed partials and are zero-filled).
+        # diff/grad consult this before reading series entries.
+        self.tvalid = tvalid
 
     # ------------------------------------------------------------------ value
     @property
@@ -237,13 +244,14 @@ class Field:
             if self._dinfo is not None:
                 parent, dir_index, order = self._dinfo
                 from .ops.taylor import teval
-                series = teval(parent, ctx)
+                series = teval(parent, ctx, order=order)
                 d = series.derivs[order - 1][dir_index]
                 # series coefficients may be broadcast-shaped; readers get (N, m)
                 return jnp.broadcast_to(d, (self.coords.n_samples, series.c0.shape[1]))
             if self.trule is not None:
                 from .ops.taylor import teval
-                return teval(self, ctx).c0
+                # value-only read: order 0 (a deeper cached series serves it free)
+                return teval(self, ctx, order=0).c0
             if self._combine is not None:
                 kind, op, specs, operands = self._combine
                 vals = []
@@ -379,8 +387,12 @@ class Field:
         inner = self.fn
 
         if isinstance(col, int):
+            # col+1 would wrap to an empty slice for col == -1; use [-1:None]
+            # (matching slice_series / _value_with_ctx in ops.taylor).
+            sl = slice(col, col + 1) if col != -1 else slice(-1, None)
+
             def fn(xs, *aux):
-                return jnp.atleast_1d(inner(xs, *aux))[col:col + 1]
+                return jnp.atleast_1d(inner(xs, *aux))[sl]
         elif isinstance(col, slice):
             def fn(xs, *aux):
                 return jnp.atleast_1d(inner(xs, *aux))[col]
@@ -394,7 +406,8 @@ class Field:
                 return slice_series(teval(_parent, ctx), _col)
 
         return Field(fn, self.coords, self.aux, trule=trule, torder=self.torder,
-                     combine=('slice', col, [('field', None)], [self]))
+                     combine=('slice', col, [('field', None)], [self]),
+                     tvalid=self.tvalid)
 
     def reshape(self, *shape):
         """Only identity/(N,1) reshapes are meaningful for fields; returns self
@@ -425,7 +438,8 @@ class Field:
                     return sum_series(teval(_parent, ctx), keepdims)
 
             return Field(fn, self.coords, self.aux, trule=trule, torder=self.torder,
-                         combine=('sum', None, [('field', None)], [self]))
+                         combine=('sum', None, [('field', None)], [self]),
+                         tvalid=self.tvalid)
         return self.value.sum(axis=axis)
 
     def max(self, axis=None):
@@ -439,6 +453,16 @@ class Field:
 
     def __repr__(self):
         return f"Field(shape={self.shape})"
+
+
+def _tvalid_intersection(fields_):
+    """AND of per-direction series validity across operand Fields (None = all)."""
+    out = None
+    for f in fields_:
+        tv = f.tvalid
+        if tv is not None:
+            out = tv if out is None else (out & tv)
+    return out
 
 
 def _raw(x):
@@ -589,7 +613,8 @@ def _lift_call(op, *args, _composite=False, **op_kwargs):
             return lifted_series(_op, arg_descs, ctx)
 
     return Field(fn, cs, tuple(aux_all), trule=trule, torder=torder,
-                 combine=('elementwise', op, combine_specs, operand_fields))
+                 combine=('elementwise', op, combine_specs, operand_fields),
+                 tvalid=_tvalid_intersection(operand_fields))
 
 
 def lift(op):
@@ -800,7 +825,8 @@ def cat(fields, dim=1):
             return concat_series(series, ctx.order, ctx.n_dirs)
 
     return Field(fn, cs, tuple(aux_all), trule=trule, torder=torder,
-                 combine=('cat', None, combine_specs, field_args))
+                 combine=('cat', None, combine_specs, field_args),
+                 tvalid=_tvalid_intersection(field_args))
 
 
 # ---------------------------------------------------------------------- diff
@@ -923,14 +949,34 @@ def diff(u, t, order=1, shape_check=True):
 
     dinfo = None
     torder = 0
-    if u.trule is not None:
-        # hot path: the value reads off u's shared Taylor series
-        dinfo = (u, t.index, order)
-        torder = order
-    elif u._dinfo is not None and u._dinfo[1] == t.index:
+    trule = None
+    tvalid = None
+    if u._dinfo is not None and u._dinfo[1] == t.index:
         # derivative-of-derivative along the SAME direction: extend the order
+        # (cheaper than chaining through u's own derivative series)
         parent, dir_index, parent_order = u._dinfo
-        dinfo = (parent, dir_index, parent_order + order)
-        torder = parent_order + order
+        total = parent_order + order
+        dinfo = (parent, dir_index, total)
+        torder = parent.torder + total
+        trule = _make_deriv_trule(parent, dir_index, total)
+        tvalid = frozenset((t.index,))
+    elif u.trule is not None and (u.tvalid is None or t.index in u.tvalid):
+        # hot path: the value reads off u's shared Taylor series; the field
+        # also carries its OWN series rule (pure partials along t, read from
+        # u's series evaluated `order` deeper) so expressions built from it —
+        # e.g. the spherical pattern diff(r**2 * u_r, r) — stay batched.
+        dinfo = (u, t.index, order)
+        torder = u.torder + order
+        trule = _make_deriv_trule(u, t.index, order)
+        tvalid = frozenset((t.index,))
 
-    return Field(dfn, u.coords, u.aux, dinfo=dinfo, torder=torder)
+    return Field(dfn, u.coords, u.aux, dinfo=dinfo, torder=torder,
+                 trule=trule, tvalid=tvalid)
+
+
+def _make_deriv_trule(parent, dir_index, order):
+    def trule(ctx):
+        from .ops.taylor import derivative_series
+        return derivative_series(parent, dir_index, order, ctx)
+
+    return trule

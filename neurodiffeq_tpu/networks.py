@@ -270,7 +270,7 @@ class FCNN(Module):
         from .ops.taylor import affine_series, TSeries
         from .ops.pallas_mlp import pallas_enabled, fcnn_taylor_pallas
         if (pallas_enabled() and getattr(series, 'meta', None) == 'raw_coords'
-                and ctx.order <= 2 and all(type(a) is Tanh for a in self.actvs)):
+                and 1 <= ctx.order <= 2 and all(type(a) is Tanh for a in self.actvs)):
             outs = fcnn_taylor_pallas(series.c0, params['layers'], ctx.order, ctx.n_dirs)
             # the kernel returns stacked (D, N, m) coefficients; re-layout to
             # match the context

@@ -49,7 +49,8 @@ import jax.numpy as jnp
 from jax.experimental.jet import jet
 
 __all__ = ['TSeries', 'TContext', 'teval', 'elementwise_series', 'constant_series',
-           'affine_series', 'concat_series', 'slice_series', 'sum_series', 'add_series']
+           'affine_series', 'concat_series', 'slice_series', 'sum_series', 'add_series',
+           'derivative_series']
 
 
 class TSeries:
@@ -107,10 +108,73 @@ class TContext:
         self.cache[key] = (field, out)
         return out
 
+    def at_order(self, order):
+        """A view of this context with a different target series order.
 
-def teval(field, ctx):
-    """Memoized Taylor evaluation of a Field under a context."""
-    return ctx.memo(field, 's', lambda: field.trule(ctx))
+        Shares points/directions/layout and the memo cache, so order-aware
+        evaluation (e.g. a derivative field reading its parent's series one
+        order deeper) composes with full memoization."""
+        if order == self.order:
+            return self
+        view = object.__new__(TContext)
+        view.points = self.points
+        view.order = order
+        view.directions = self.directions
+        view.n_dirs = self.n_dirs
+        view.stacked = self.stacked
+        view.cache = self.cache
+        return view
+
+
+def teval(field, ctx, order=None):
+    """Memoized Taylor evaluation of a Field under a context.
+
+    :param order: series order to evaluate to; defaults to ``ctx.order``.
+        The cache keeps the DEEPEST series computed so far per field —
+        shallower requests are served from it (rules index only the orders
+        they need), deeper requests re-evaluate and replace it (identical
+        sub-computations are CSE'd by XLA under jit).
+    """
+    want = ctx.order if order is None else order
+    key = (id(field), 's')
+    hit = ctx.cache.get(key)
+    if hit is not None and hit[1].order >= want:
+        return hit[1]
+    out = field.trule(ctx.at_order(want))
+    ctx.cache[key] = (field, out)
+    return out
+
+
+def derivative_series(parent, dir_index, p, ctx):
+    r"""Series of the p-th derivative field :math:`\partial_{dir}^p u`.
+
+    The entries along ``dir`` are PURE partials read off the parent's series
+    evaluated ``p`` orders deeper (one shared network pass; the reason
+    spherical patterns like ``diff(r^2 * u_r, r)`` stay on the batched hot
+    path — reference ``operators.py:116-279`` builds them this way). Entries
+    along other directions would be MIXED partials the directional series
+    does not contain: they are filled with zeros and must never be read —
+    the owning Field's static ``tvalid`` set restricts valid directions to
+    ``{dir}``, and ``diff``/``grad`` check it before reading.
+    """
+    K = ctx.order
+    ps = teval(parent, ctx, order=p + K)
+    n = ctx.points.shape[0]
+    m = ps.c0.shape[1]
+    dtype = ps.c0.dtype
+    c0 = jnp.broadcast_to(ps.derivs[p - 1][dir_index], (n, m))
+    derivs = []
+    for k in range(1, K + 1):
+        entry = ps.derivs[p + k - 1][dir_index]
+        if ctx.stacked:
+            stack = jnp.zeros((ctx.n_dirs,) + entry.shape, dtype)
+            derivs.append(stack.at[dir_index].set(entry))
+        else:
+            zero = jnp.zeros((1, 1), dtype)
+            derivs.append(tuple(
+                entry if d == dir_index else zero for d in range(ctx.n_dirs)
+            ))
+    return TSeries(c0, derivs)
 
 
 def _dmap(f, *ds):

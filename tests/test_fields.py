@@ -145,6 +145,12 @@ def test_cat_and_slicing():
     assert np.allclose(c[:, 2:3].value, (x * y).value)
     assert np.allclose(c[:, 0].value, x.value[:, 0:1])
     assert np.allclose(c.sum(axis=1, keepdims=True).value, x.value + y.value + (x * y).value)
+    # regression: u[:, -1] must select the last column on the per-sample fn
+    # path too ([-1:0] is empty), consistently with the Taylor slice_series path
+    last = c[:, -1]
+    assert last.shape == (N, 1)
+    assert np.allclose(last.value, (x * y).value)
+    assert np.allclose(diff(last, x).value, y.value)
 
 
 def test_no_silent_array_conversion():
