@@ -682,23 +682,36 @@ class FilterGenerator(BaseGenerator):
     """Applies a boolean filter to the samples before returning them
     (reference ``generators.py:904-944``).
 
-    .. note::
-        Dynamic output sizes are incompatible with XLA's static shapes, so
-        this generator is **not jittable**: solvers fall back to host-side
-        sampling when it is used. ``filter_fn`` maps a list of arrays to a
-        boolean mask.
+    Two modes:
+
+    - **dynamic** (default, reference semantics): the output size varies with
+      the mask; incompatible with XLA's static shapes, so the generator is
+      not jittable and solvers fall back to host-side sampling.
+    - **fixed_size=True** (TPU-native): always returns exactly ``size``
+      points, drawn uniformly with replacement from the points that pass the
+      filter (rejection sampling with replacement — the same conditional
+      distribution). Static shapes make the generator jittable, so ``fit()``
+      stays on the chunked on-device scan.
+
+    ``filter_fn`` maps a list of arrays to a boolean mask.
     """
 
-    jittable = False
-
-    def __init__(self, generator, filter_fn, size=None, update_size=True):
+    def __init__(self, generator, filter_fn, size=None, update_size=True,
+                 fixed_size=False):
         super().__init__()
         self.generator = generator
         self.filter_fn = filter_fn
         self.size = generator.size if size is None else size
-        self.update_size = update_size
+        self.fixed_size = bool(fixed_size)
+        self.update_size = False if fixed_size else update_size
+
+    @property
+    def jittable(self):
+        return self.fixed_size and self.generator.jittable
 
     def sample(self, key):
+        if self.fixed_size:
+            return self._sample_fixed(key)
         xs = self.generator.sample(key)
         single = not isinstance(xs, tuple)
         xs = list(_as_tuple(xs))
@@ -708,9 +721,27 @@ class FilterGenerator(BaseGenerator):
             self.size = len(xs[0])
         return xs[0] if single or len(xs) == 1 else tuple(xs)
 
+    def _sample_fixed(self, key):
+        """Static-shape filtering: uniform choice (with replacement) among the
+        mask-passing indices via a size-bounded ``nonzero``. Undefined when NO
+        point passes (the count is clamped to 1 to stay finite)."""
+        k1, k2 = jax.random.split(key)
+        xs = self.generator.sample(k1)
+        single = not isinstance(xs, tuple)
+        xs = list(_as_tuple(xs))
+        mask = jnp.asarray(self.filter_fn(xs)).reshape(-1)
+        n = xs[0].shape[0]
+        idx_valid = jnp.nonzero(mask, size=n, fill_value=0)[0]
+        count = jnp.maximum(mask.sum(), 1)
+        choice = jax.random.randint(k2, (self.size,), 0, count)
+        picked = idx_valid[choice]
+        out = [x[picked] for x in xs]
+        return out[0] if single or len(out) == 1 else tuple(out)
+
     def _internal_vars(self) -> dict:
         d = super()._internal_vars()
-        d.update(dict(generator=self.generator, filter_fn=self.filter_fn))
+        d.update(dict(generator=self.generator, filter_fn=self.filter_fn,
+                      fixed_size=self.fixed_size))
         return d
 
 

@@ -604,7 +604,8 @@ class BaseSolver(ABC, PretrainedSolver):
 
     # ------------------------------------------------------------------- fit
 
-    def fit(self, max_epochs, callbacks=(), tqdm_file=sys.stderr, **kwargs):
+    def fit(self, max_epochs, callbacks=(), tqdm_file=sys.stderr,
+            profile_dir=None, **kwargs):
         r"""Run multiple epochs of training and validation, update best model.
 
         When no callbacks are given and all generators are jittable, epochs are
@@ -614,7 +615,18 @@ class BaseSolver(ABC, PretrainedSolver):
         :param max_epochs: Number of epochs to run.
         :param callbacks: callables accepting the solver instance as only argument.
         :param tqdm_file: file for the tqdm progress bar; None disables tqdm.
+        :param profile_dir: if set, wrap the whole run in ``jax.profiler.trace``
+            writing a TensorBoard-viewable trace to this directory (the
+            profiling hook SURVEY.md §5 specifies; the reference has only a
+            tqdm bar, ``solvers.py:475-484``).
         """
+        if profile_dir is not None:
+            import jax
+
+            with jax.profiler.trace(str(profile_dir)):
+                return self.fit(max_epochs, callbacks=callbacks,
+                                tqdm_file=tqdm_file, profile_dir=None, **kwargs)
+
         self._stop_training = False
         self._max_local_epoch = max_epochs
 

@@ -54,6 +54,87 @@ def get_source(obj):
         return None
 
 
+def get_networks(solver):
+    """Introspected network-architecture metadata for the hub UI — the same
+    per-layer contract as the reference (``solvers_utils.py:226-245``:
+    ``[{"layers": [{"layer", "in_features", "out_features", "bias"}, ...]}]``),
+    re-derived from our init/apply modules."""
+    networks = []
+    for net in solver.nets:
+        layers = []
+        if hasattr(net, 'hidden_units') and hasattr(net, 'n_input_units'):
+            dims = ((net.n_input_units,) + tuple(net.hidden_units)
+                    + (net.n_output_units,))
+            actvs = list(getattr(net, 'actvs', []))
+            for i in range(len(dims) - 1):
+                layers.append({'layer': 'Linear', 'in_features': int(dims[i]),
+                               'out_features': int(dims[i + 1]), 'bias': True})
+                if i < len(dims) - 2:
+                    name = type(actvs[i]).__name__ if i < len(actvs) else 'Tanh'
+                    layers.append({'layer': name})
+        else:
+            layers.append({'layer': type(net).__name__})
+        networks.append({'layers': layers})
+    return networks
+
+
+def get_sample_solution(solver):
+    """Sampled solution curves per solver type for the hub UI (the analog of
+    the reference's ``get_sample_solution{1D,2D,Bundle1D}``,
+    ``solvers_utils.py:170-224``). Returns ``[xs, us]`` lists, ``[]`` when
+    sampling fails, ``None`` for solver types without a sampler."""
+    names = [c.__name__ for c in type(solver).__mro__]
+    best = solver.best_params is not None
+    try:
+        if 'BundleSolver1D' in names:
+            t0, t1 = float(solver.r_min[0]), float(solver.r_max[0])
+            t = np.linspace(t0, t1, max(10 * int(t1 - t0), 10))
+            import random as _random
+            values = [
+                np.full_like(t, _random.random()
+                             * (float(solver.r_max[i]) - float(solver.r_min[i]))
+                             + float(solver.r_min[i]))
+                for i in range(1, len(solver.r_min))
+            ]
+            us = solver.get_solution(best=best)(t, *values)
+            if not isinstance(us, (list, tuple)):
+                us = [us]
+            return [t.tolist(), [np.asarray(u).tolist() for u in us]]
+        if 'Solver1D' in names:
+            t = np.linspace(solver.t_min, solver.t_max,
+                            max(10 * int(solver.t_max - solver.t_min), 10))
+            us = solver.get_solution(best=best)(t)
+            if not isinstance(us, (list, tuple)):
+                us = [us]
+            return [t.tolist(), [np.asarray(u).tolist() for u in us]]
+        if 'Solver2D' in names:
+            cols = solver.generator['train'].get_examples()
+            xs = [np.asarray(c).reshape(-1) for c in cols[:2]]
+            us = solver.get_solution(best=best)(xs[0], xs[1])
+            if isinstance(us, (list, tuple)):
+                us = us[0]
+            return [[x.tolist() for x in xs], np.asarray(us).tolist()]
+    except Exception:
+        return []
+    return None
+
+
+def _diff_equation_details(solver):
+    """The reference's introspected metadata block
+    (``solvers_utils.py:307-321``), consumed by the hub UI."""
+    loss_fn = solver.loss_fn
+    return {
+        "equation": get_source(solver.diff_eqs),
+        "conditions": [type(c).__name__ for c in solver.conditions],
+        "generator": {k: repr(g) for k, g in solver.generator.items()},
+        "sample_solution": get_sample_solution(solver),
+        "sample_loss": list(solver.metrics_history.get('valid_loss', [])),
+        "loss_fn": loss_fn if isinstance(loss_fn, str) else get_source(loss_fn),
+        "networks": get_networks(solver),
+        "optimizer": {"name": type(solver.optimizer).__name__},
+    }
+
+
 def _to_numpy_tree(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
@@ -104,6 +185,9 @@ class PretrainedSolver:
             "lowest_loss": self.lowest_loss,
             "loss_fn": self.loss_fn,
             "solver_kwargs": self._constructor_kwargs(),
+            "global_epoch": self.global_epoch,
+            "parent_type_name": type(self).__mro__[1].__name__,
+            "diff_equation_details": _diff_equation_details(self),
         }
         return d
 

@@ -152,6 +152,56 @@ def test_filter_generator_dynamic_size():
     assert not g.jittable
 
 
+def test_filter_generator_fixed_size():
+    """TPU-native static-shape mode: exactly `size` points, all passing the
+    filter, jittable (SURVEY.md §7(3))."""
+    import jax
+    import jax.numpy as jnp
+    g = G.FilterGenerator(G.Generator1D(128, 0, 1, method='equally-spaced-noisy'),
+                          filter_fn=lambda xs: xs[0] < 0.5,
+                          size=64, fixed_size=True)
+    assert g.jittable
+    x = g.get_examples()
+    assert _arr(x).shape == (64,)
+    assert (_arr(x) < 0.5).all()
+
+    # works under jit with static shapes
+    out = jax.jit(g.sample)(jax.random.PRNGKey(0))
+    assert out.shape == (64,)
+    assert bool(jnp.all(out < 0.5))
+
+    # 2-D: tuple output, columns stay aligned through the gather
+    g2 = G.FilterGenerator(G.Generator2D((16, 16)),
+                           filter_fn=lambda xs: xs[0] + xs[1] < 1.0,
+                           size=100, fixed_size=True)
+    xs, ys = jax.jit(g2.sample)(jax.random.PRNGKey(1))
+    assert xs.shape == (100,) and ys.shape == (100,)
+    assert bool(jnp.all(xs + ys < 1.0))
+
+
+def test_filter_generator_fixed_size_solver_fast_path():
+    """fit() must stay on the chunked on-device scan with a fixed-size filter."""
+    from neurodiffeq_tpu.solvers import Solver1D
+    from neurodiffeq_tpu.conditions import IVP
+    from neurodiffeq_tpu.fields import diff
+    train = G.FilterGenerator(G.Generator1D(64, 0, 2, method='equally-spaced-noisy'),
+                              filter_fn=lambda xs: xs[0] > 0.05,
+                              size=32, fixed_size=True)
+    solver = Solver1D(
+        ode_system=lambda u, t: [diff(u, t) + u],
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+        train_generator=train,
+        valid_generator=G.Generator1D(32, 0, 2, method='equally-spaced'),
+    )
+    assert solver.generator['train'].jittable
+    solver.fit(max_epochs=300, tqdm_file=None)
+    sol = solver.get_solution()
+    ts = np.linspace(0.1, 2, 40)
+    err = np.abs(np.asarray(sol(ts)) - np.exp(-ts)).max()
+    assert err < 5e-2, f"filtered training failed to converge: {err}"
+
+
 def test_resample_generator():
     g = G.ResampleGenerator(G.Generator1D(32, 0, 1, method='equally-spaced'), size=16)
     assert _arr(g.get_examples()).shape == (16,)

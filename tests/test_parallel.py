@@ -84,3 +84,35 @@ def test_sharded_loss_matches_unsharded():
     loss_plain, _ = s_plain._loss_and_metrics(s_plain.params, cols)
     loss_mesh, _ = jax.jit(s_mesh._loss_and_metrics)(s_mesh.params, cols)
     assert np.isclose(float(loss_plain), float(loss_mesh), rtol=1e-10)
+
+
+def test_sharded_grads_match_unsharded():
+    """The quantity that actually diverges under a misplaced psum is the
+    GRADIENT: assert per-leaf allclose sharded vs unsharded at identical
+    points and params."""
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    common = dict(
+        ode_system=lambda u, t: [diff(u, t, 2) + diff(u, t) + u],
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+        train_generator=Generator1D(8 * n_dev, 0, 2, method='equally-spaced'),
+        valid_generator=Generator1D(8 * n_dev, 0, 2, method='equally-spaced'),
+        key=jax.random.PRNGKey(7),
+    )
+    s_plain = Solver1D(**common)
+    s_mesh = Solver1D(**common, mesh=mesh)
+
+    cols = [np.linspace(0, 2, 8 * n_dev).reshape(-1, 1)]
+
+    def loss_of(solver):
+        return lambda p: solver._loss_and_metrics(p, cols)[0]
+
+    g_plain = jax.grad(loss_of(s_plain))(s_plain.params)
+    g_mesh = jax.jit(jax.grad(loss_of(s_mesh)))(s_mesh.params)
+    leaves_p, treedef_p = jax.tree.flatten(g_plain)
+    leaves_m, treedef_m = jax.tree.flatten(g_mesh)
+    assert treedef_p == treedef_m
+    for lp, lm in zip(leaves_p, leaves_m):
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(lm), rtol=1e-10, atol=1e-12)

@@ -135,6 +135,17 @@ def test_custom_loss_fn_str():
         assert solver.global_epoch == 2
 
 
+def test_fit_profile_dir(tmp_path):
+    """fit(profile_dir=...) wraps the run in jax.profiler.trace (SURVEY §5)."""
+    import os
+    solver = exp_decay_solver()
+    pdir = str(tmp_path / 'trace')
+    solver.fit(max_epochs=3, tqdm_file=None, profile_dir=pdir)
+    assert solver.global_epoch == 3
+    found = [os.path.join(r, f) for r, _, fs in os.walk(pdir) for f in fs]
+    assert found, "no profiler trace files written"
+
+
 def test_infinity_loss_is_nonnegative():
     # regression: the reference takes residual.abs().max(dim=1); a signed max
     # would be unbounded below and reward large negative residuals.

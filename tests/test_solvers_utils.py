@@ -137,6 +137,66 @@ def test_hub_upload_download_mocked(tmp_path, monkeypatch):
     assert loaded.global_epoch == 2
 
 
+def test_save_dict_metadata_contract(tmp_path):
+    """The saved dict carries the reference's introspection metadata
+    (reference solvers_utils.py:170-245, 307-321): per-layer network
+    architecture, sampled solution curves, equation source, loss history."""
+    import dill
+    from neurodiffeq_tpu.networks import FCNN
+
+    solver = Solver1D(
+        ode_system=_ode,
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        nets=[FCNN(1, 1, hidden_units=(8, 4))],
+        t_min=0.0, t_max=2.0,
+    )
+    solver.fit(max_epochs=3, tqdm_file=None)
+    path = str(tmp_path / 'meta.ndq')
+    solver.save(path=path)
+    with open(path, 'rb') as f:
+        d = dill.load(f)
+
+    assert d['parent_type_name'] == 'BaseSolver'
+    assert d['global_epoch'] == 3
+    details = d['diff_equation_details']
+    assert 'diff' in details['equation']
+    assert details['conditions'] == ['IVP']
+    assert details['optimizer']['name']
+    assert len(details['sample_loss']) == 3
+
+    nets = details['networks']
+    assert nets == [{'layers': [
+        {'layer': 'Linear', 'in_features': 1, 'out_features': 8, 'bias': True},
+        {'layer': 'Tanh'},
+        {'layer': 'Linear', 'in_features': 8, 'out_features': 4, 'bias': True},
+        {'layer': 'Tanh'},
+        {'layer': 'Linear', 'in_features': 4, 'out_features': 1, 'bias': True},
+    ]}]
+
+    ts, us = details['sample_solution']
+    assert len(ts) == 20  # 10 * (t_max - t_min)
+    assert len(us) == 1 and len(us[0]) == 20
+    # the curve matches the solver's own solution
+    got = np.asarray(solver.get_solution()(np.asarray(ts))).reshape(-1)
+    assert np.allclose(np.asarray(us[0]).reshape(-1), got, atol=1e-10)
+
+
+def test_save_dict_metadata_2d_and_unknown(tmp_path):
+    import dill
+    solver = Solver2D(
+        pde_system=lambda u, x, y: [diff(u, x) + diff(u, y)],
+        conditions=[NoCondition()],
+        xy_min=(0, 0), xy_max=(1, 1),
+    )
+    solver.fit(max_epochs=2, tqdm_file=None)
+    path = str(tmp_path / 'meta2d.ndq')
+    solver.save(path=path)
+    with open(path, 'rb') as f:
+        d = dill.load(f)
+    xs_ys, grid = d['diff_equation_details']['sample_solution']
+    assert len(xs_ys) == 2 and len(xs_ys[0]) == len(np.asarray(grid).reshape(-1))
+
+
 def test_hub_upload_requires_api_key(monkeypatch):
     solver = Solver1D(
         ode_system=_ode,

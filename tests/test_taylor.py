@@ -211,6 +211,99 @@ def test_aux_array_is_constant(net2):
     both_modes(expr)
 
 
+def _coords3(lo=0.3):
+    rs = np.random.RandomState(13)
+    return F.coordinates(rs.rand(N) + lo, rs.rand(N) + lo, rs.rand(N) + lo)
+
+
+def test_derivative_expression_composition(net2):
+    """diff of an expression CONTAINING a derivative field (the spherical
+    operator pattern) must match the compose path and stay batched."""
+    net, params = net2
+
+    def expr():
+        x, y = _coords2()
+        u = _ann_field(net, params, (x, y))
+        u_x = diff(u, x)
+        return diff(x ** 2 * u_x, x)
+
+    both_modes(expr, atol=1e-8)
+
+    # structural: the outer diff keeps the fast dinfo/trule path
+    x, y = _coords2()
+    u = _ann_field(net, params, (x, y))
+    u_x = diff(u, x)
+    assert u_x.tvalid == frozenset((x.index,))
+    composed = diff(x ** 2 * u_x, x)
+    assert composed._dinfo is not None and composed.trule is not None
+
+    # invalid-direction read is refused (falls back, stays correct)
+    other = diff(x ** 2 * u_x, y)
+    assert other._dinfo is None and other.trule is None
+
+
+def test_derivative_expression_second_order(net2):
+    """Second diff of an expression with a derivative field inside."""
+    net, params = net2
+
+    def expr():
+        x, y = _coords2()
+        u = _ann_field(net, params, (x, y))
+        return diff(F.sin(x) * diff(u, x), x, 2)
+
+    both_modes(expr, atol=1e-7)
+
+
+def net3():
+    net = FCNN(3, 1, hidden_units=(12, 12))
+    return net, net.init(jax.random.PRNGKey(2))
+
+
+def test_spherical_laplacian_equivalence():
+    net, params = net3()
+
+    def expr():
+        r, th, ph = _coords3()
+        u = _ann_field(net, params, (r, th, ph))
+        return ops.spherical_laplacian(u, r, th, ph)
+
+    both_modes(expr, atol=1e-7)
+
+
+def test_spherical_div_equivalence():
+    net, params = net3()
+
+    def expr():
+        r, th, ph = _coords3()
+        u = _ann_field(net, params, (r, th, ph))
+        return ops.spherical_div(u, u * u, F.sin(u), r, th, ph)
+
+    both_modes(expr, atol=1e-7)
+
+
+def test_spherical_vector_laplacian_equivalence():
+    net, params = net3()
+
+    def expr():
+        r, th, ph = _coords3()
+        u = _ann_field(net, params, (r, th, ph))
+        vr, vth, vph = ops.spherical_vector_laplacian(u, 2 * u, u * u, r, th, ph)
+        return vr + vth + vph
+
+    both_modes(expr, atol=1e-6)
+
+
+def test_cylindrical_laplacian_equivalence():
+    net, params = net3()
+
+    def expr():
+        rho, ph, z = _coords3()
+        u = _ann_field(net, params, (rho, ph, z))
+        return ops.cylindrical_laplacian(u, rho, ph, z)
+
+    both_modes(expr, atol=1e-7)
+
+
 def test_series_memoization_shares_primal(net2):
     """The network series must be evaluated once per context."""
     net, params = net2
