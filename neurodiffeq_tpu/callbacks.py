@@ -111,7 +111,8 @@ class MonitorCallback(ActionCallback):
             solver.nets,
             solver.conditions,
             history=solver.metrics_history,
-            params=solver.params,
+            # expand dedup'd params so they zip 1:1 with nets (shared-net setups)
+            params=solver._expand_params(solver.params),
             solver=solver,
         )
         if self.fig_dir:

@@ -37,6 +37,28 @@ def test_monitor_1d_requires_params(solver1d):
         m.check(solver1d.nets, solver1d.conditions, solver1d.metrics_history)
 
 
+def test_monitor_callback_with_shared_net():
+    """regression: MonitorCallback must expand dedup'd params so they zip 1:1
+    with a shared-net solver's nets list."""
+    import warnings
+    net = FCNN(n_input_units=1, n_output_units=2, hidden_units=(8,))
+    conds = [IVP(t_0=0.0, u_0=1.0), IVP(t_0=0.0, u_0=2.0)]
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore', DeprecationWarning)
+        for i, c in enumerate(conds):
+            c.set_impose_on(i)
+    s = Solver1D(
+        ode_system=lambda u, v, t: [diff(u, t) + u, diff(v, t) + v],
+        conditions=conds,
+        nets=[net, net],
+        t_min=0.0, t_max=2.0,
+    )
+    m = Monitor1D(0, 2, check_every=1)
+    cb = m.to_callback()
+    s.fit(max_epochs=2, tqdm_file=None, callbacks=[cb])
+    assert m.fig is not None
+
+
 def test_monitor_to_callback(solver1d):
     m = Monitor1D(0, 2, check_every=2)
     callback = m.to_callback()
