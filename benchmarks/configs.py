@@ -151,8 +151,14 @@ def bench_laplace2d(epochs=2000):
                 points_per_sec=round(pps, 1), max_err_vs_analytic=round(float(err), 5))
 
 
-def bench_spherical_poisson(epochs=1500):
-    """Gaussian-charge electric potential (reference tests/test_pde_spherical.py:103-174)."""
+def bench_spherical_poisson(epochs=20000):
+    """Gaussian-charge electric potential (reference tests/test_pde_spherical.py:103-174).
+
+    Converged config (round 2): FCNN 3-64-64-1 with cosine lr decay 1e-3 ->
+    1e-5 over the run reaches max rel err vs analytic ~0.5% (target <= 1%);
+    the reference's own test only shape-checks this problem at 2 epochs.
+    """
+    import optax
     from scipy.special import erf
     set_seed(0)
     Q = SIGMA = EPS_0 = 1.0
@@ -168,12 +174,15 @@ def bench_spherical_poisson(epochs=1500):
         conditions=[DirichletBVPSpherical(r0, lambda th, ph: v0 + 0 * th,
                                           r1, lambda th, ph: v1 + 0 * th)],
         r_min=r0, r_max=r1,
+        nets=[FCNN(n_input_units=3, n_output_units=1, hidden_units=(64, 64))],
+        optimizer=optax.adam(optax.cosine_decay_schedule(1e-3, epochs, alpha=1e-2)),
     )
     eps, pps = _timed_fit(solver, epochs, 512)
     sol = solver.get_solution()
-    rs = np.linspace(r0, r1, 128)
-    ths = np.random.rand(128) * np.pi * 0.9 + 0.05
-    phs = np.random.rand(128) * 2 * np.pi
+    rng = np.random.RandomState(42)
+    rs = np.linspace(r0, r1, 256)
+    ths = rng.rand(256) * np.pi * 0.9 + 0.05
+    phs = rng.rand(256) * 2 * np.pi
     expected = K * Q / rs * erf(rs / np.sqrt(2))
     rel = np.abs(np.asarray(sol(rs, ths, phs)) - expected) / np.abs(expected)
     return dict(name='spherical_poisson_gaussian_charge', epochs_per_sec=round(eps, 1),
