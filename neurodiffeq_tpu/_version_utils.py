@@ -3,7 +3,9 @@
 Provides the same capability surface as the reference's version helpers
 (``neurodiffeq/_version_utils.py:5-48``): a class-alias factory that emits
 ``FutureWarning`` on instantiation and a kwargs-renaming decorator that emits
-``DeprecationWarning`` when old keyword names are used.
+``FutureWarning`` when old keyword names are used (and raises ``KeyError``
+when both the old and new names are passed — reference
+``_version_utils.py:42-48``).
 """
 import functools
 import warnings
@@ -50,6 +52,6 @@ def _rename_kwargs(func_name, kwargs, aliases):
     for old, new in aliases.items():
         if old in kwargs:
             if new in kwargs:
-                raise TypeError(f"{func_name} received both {old} (deprecated) and {new}")
-            warnings.warn(f"`{old}` is deprecated; use `{new}` instead", DeprecationWarning)
+                raise KeyError(f"{func_name} received both `{old}` (deprecated) and `{new}` (recommended)")
+            warnings.warn(f"The argument `{old}` is deprecated for {func_name}; use `{new}` instead.", FutureWarning)
             kwargs[new] = kwargs.pop(old)

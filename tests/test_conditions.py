@@ -367,3 +367,47 @@ def test_deprecated_set_impose_on():
     u = cond.enforce(net, params, t)
     assert u.shape == (N, 1)
     assert np.allclose(u.value, 1.0, atol=ATOL)
+
+
+def test_ivp_legacy_signature():
+    """Deprecated x_0/x_0_prime kwargs alias to u_0/u_0_prime with a
+    FutureWarning; passing both old and new names is an error
+    (reference tests/test_conditions.py:240-250)."""
+    with pytest.warns(FutureWarning):
+        c = C.IVP(0, x_0=1)
+    assert c.u_0 == 1
+    with pytest.warns(FutureWarning):
+        c = C.IVP(0, 1, x_0_prime=2)
+    assert c.u_0_prime == 2
+    with pytest.warns(FutureWarning):
+        c = C.IVP(0, x_0=1, x_0_prime=2)
+    assert c.u_0 == 1 and c.u_0_prime == 2
+    with pytest.raises(KeyError):
+        C.IVP(0, x_0=1, u_0=2)
+    with pytest.raises(KeyError):
+        C.IVP(0, 1, x_0_prime=1, u_0_prime=2)
+
+
+def test_bvp_legacy_signature():
+    """DirichletBVP legacy t_0/x_0/t_1/x_1 spelling
+    (reference tests/test_conditions.py:333-350)."""
+    with pytest.warns(FutureWarning):
+        c = C.DirichletBVP(t_0=0, t_1=1, x_0=2, x_1=3)
+    assert (c.t_0, c.t_1, c.u_0, c.u_1) == (0, 1, 2, 3)
+    with pytest.warns(FutureWarning):
+        C.DirichletBVP(0, 2, t_1=1, x_1=0)
+    with pytest.raises(KeyError):
+        C.DirichletBVP(t_0=0, u_0=0, x_0=0, t_1=1, x_1=0)
+    with pytest.raises(KeyError):
+        C.DirichletBVP(t_0=0, x_0=0, t_1=1, x_1=0, u_1=0)
+
+
+def test_bundle_conditions_legacy_signature():
+    """bundle_conditions= is the deprecated name of bundle_param_lookup=
+    (reference tests/test_conditions.py:327-331)."""
+    with pytest.warns(FutureWarning):
+        c = C.BundleIVP(0.0, 1.0, bundle_conditions={'t_0': 0})
+    assert c.bundle_param_lookup == {'t_0': 0}
+    with pytest.warns(FutureWarning):
+        c = C.BundleDirichletBVP(0.0, 1.0, 2.0, 3.0, bundle_conditions={'t_0': 0})
+    assert c.bundle_param_lookup == {'t_0': 0}

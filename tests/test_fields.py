@@ -62,12 +62,12 @@ def test_shape_check():
 def test_deprecated_x_alias():
     t, = F.coordinates(np.random.rand(N))
     u = t ** 2
-    with pytest.warns(DeprecationWarning):
+    with pytest.warns(FutureWarning):
         d = diff(x=u, t=t)
     assert np.allclose(d.value, 2 * t.value)
-    with pytest.warns(DeprecationWarning):
+    with pytest.warns(FutureWarning):
         safe_diff(x=u, t=t)
-    with pytest.warns(DeprecationWarning):
+    with pytest.warns(FutureWarning):
         unsafe_diff(x=u, t=t)
 
 

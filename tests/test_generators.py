@@ -243,3 +243,154 @@ def test_repr():
     g = G.Generator1D(16, 0, 1)
     assert 'Generator1D' in repr(g) and 'size=16' in repr(g)
     assert 'ConcatGenerator' in repr(g + g)
+
+
+def test_chebyshev_node_values():
+    """Chebyshev-1 nodes are cos((k+.5)/n*pi), Chebyshev-2 include endpoints
+    (reference tests/test_generators.py:68-82)."""
+    a, b, n = 0.0, 2.0, 16
+    x = np.sort(_arr(G.Generator1D(n, a, b, method='chebyshev').get_examples()))
+    expected = np.sort((a + b + (b - a) * np.cos((np.arange(n) + 0.5) / n * np.pi)) / 2)
+    assert np.allclose(x, expected, atol=1e-6)
+
+    x2 = np.sort(_arr(G.Generator1D(n, a, b, method='chebyshev2').get_examples()))
+    expected2 = np.sort((a + b + (b - a) * np.cos(np.arange(n) / (n - 1) * np.pi)) / 2)
+    assert np.allclose(x2, expected2, atol=1e-6)
+    assert np.isclose(x2.min(), a) and np.isclose(x2.max(), b)
+
+
+def test_equally_spaced_exact_nodes():
+    x = np.sort(_arr(G.Generator1D(5, 0.0, 1.0, method='equally-spaced').get_examples()))
+    assert np.allclose(x, np.linspace(0, 1, 5), atol=1e-7)
+
+
+def test_noise_std_override():
+    """noise_std controls the gaussian jitter around the fixed nodes."""
+    tiny = G.Generator1D(64, 0.0, 1.0, method='equally-spaced-noisy', noise_std=1e-6)
+    x = np.sort(_arr(tiny.get_examples()))
+    assert np.allclose(x, np.linspace(0, 1, 64), atol=1e-4)
+
+    big = G.Generator1D(2000, 0.0, 1.0, method='equally-spaced-noisy', noise_std=0.3)
+    spread = _arr(big.get_examples()) - np.linspace(0, 1, 2000)
+    assert 0.2 < spread.std() < 0.4
+
+
+def test_log_spaced_nodes():
+    x = np.sort(_arr(G.Generator1D(4, 0.01, 10.0, method='log-spaced').get_examples()))
+    assert np.allclose(x, 10.0 ** np.linspace(-2, 1, 4), rtol=1e-5)
+
+
+def test_spherical_radius_laws():
+    """'equally-spaced-noisy' draws r^2 ~ U (volume-ish), 'equally-radius-noisy'
+    draws r ~ U; distinguish via the CDF at the midpoint."""
+    n = 20000
+    g_vol = G.GeneratorSpherical(n, 1.0, 2.0, method='equally-spaced-noisy')
+    g_rad = G.GeneratorSpherical(n, 1.0, 2.0, method='equally-radius-noisy')
+    r_vol = _arr(g_vol.get_examples()[0])
+    r_rad = _arr(g_rad.get_examples()[0])
+    assert r_vol.min() >= 1.0 - 1e-6 and r_vol.max() <= 2.0 + 1e-6
+    # P(r < 1.5): uniform-in-r gives 0.5; uniform-in-r^2 gives (1.5^2-1)/3 ~ 0.4167
+    frac_rad = (r_rad < 1.5).mean()
+    frac_vol = (r_vol < 1.5).mean()
+    assert abs(frac_rad - 0.5) < 0.02
+    assert abs(frac_vol - (1.5 ** 2 - 1) / 3) < 0.02
+
+
+def test_spherical_angles_cover_sphere():
+    g = G.GeneratorSpherical(20000, 0.5, 1.0)
+    r, th, ph = (_arr(v) for v in g.get_examples())
+    assert ((0 <= th) & (th <= np.pi)).all()
+    assert ((0 <= ph) & (ph < 2 * np.pi)).all()
+    # directions average to ~0 when uniform on the sphere
+    x = np.sin(th) * np.cos(ph)
+    y = np.sin(th) * np.sin(ph)
+    z = np.cos(th)
+    assert np.abs([x.mean(), y.mean(), z.mean()]).max() < 0.02
+
+
+def test_concat_preserves_order_and_size():
+    g1 = G.StaticGenerator(G.Generator1D(4, 0.0, 0.1, method='equally-spaced'))
+    g2 = G.StaticGenerator(G.Generator1D(6, 10.0, 11.0, method='equally-spaced'))
+    cat = g1 + g2
+    assert cat.size == 10
+    x = _arr(cat.get_examples())
+    assert (x[:4] <= 0.1 + 1e-6).all()
+    assert (x[4:] >= 10.0 - 1e-6).all()
+
+
+def test_ensemble_size_mismatch_raises():
+    with pytest.raises(ValueError):
+        (G.Generator1D(8, 0, 1) * G.Generator1D(9, 0, 1)).get_examples()
+
+
+def test_mesh_generator_flattens_nested():
+    g = G.Generator1D(3, 0, 1) ^ G.Generator1D(4, 0, 1) ^ G.Generator1D(5, 0, 1)
+    out = g.get_examples()
+    assert len(out) == 3
+    assert all(_arr(v).shape == (60,) for v in out)
+    # all (i, j, k) combinations appear exactly once
+    a, b, c = (np.round(_arr(v), 6) for v in out)
+    combos = set(zip(a.tolist(), b.tolist(), c.tolist()))
+    assert len(combos) == 60
+
+
+def test_static_generator_freezes_samples():
+    g = G.StaticGenerator(G.Generator1D(32, 0, 1, method='uniform'))
+    x1 = _arr(g.get_examples())
+    x2 = _arr(g.get_examples())
+    assert np.array_equal(x1, x2)
+
+
+def test_predefined_generator_multi_column():
+    xs = np.linspace(0, 1, 7)
+    ys = np.linspace(2, 3, 7)
+    g = G.PredefinedGenerator(xs, ys)
+    a, b = g.get_examples()
+    assert np.allclose(_arr(a), xs) and np.allclose(_arr(b), ys)
+    assert g.size == 7
+
+
+def test_transform_generator_per_column():
+    g = G.TransformGenerator(
+        G.Generator2D((4, 4), (0, 0), (1, 1), method='equally-spaced'),
+        transforms=[lambda x: x * 0 + 5.0, None])
+    x, y = g.get_examples()
+    assert np.allclose(_arr(x), 5.0)
+    assert not np.allclose(_arr(y), 5.0)
+
+
+def test_resample_without_replacement_is_subset():
+    base = G.StaticGenerator(G.Generator1D(32, 0, 1, method='equally-spaced'))
+    g = G.ResampleGenerator(base, size=16)
+    x = np.round(_arr(g.get_examples()), 9)
+    pool = set(np.round(_arr(base.get_examples()), 9).tolist())
+    assert len(np.unique(x)) == 16  # no duplicates without replacement
+    assert all(v in pool for v in x.tolist())
+
+
+def test_resample_with_replacement_duplicates():
+    base = G.StaticGenerator(G.Generator1D(8, 0, 1, method='equally-spaced'))
+    g = G.ResampleGenerator(base, size=64, replacement=True)
+    x = np.round(_arr(g.get_examples()), 9)
+    assert len(np.unique(x)) <= 8  # must repeat values from the small pool
+
+
+def test_batch_generator_slices_through_cache():
+    """Batches tile through the underlying samples without dropping points."""
+    base = G.StaticGenerator(G.Generator1D(6, 0, 1, method='equally-spaced'))
+    pool = sorted(np.round(_arr(base.get_examples()), 9).tolist())
+    g = G.BatchGenerator(base, batch_size=4)
+    seen = []
+    for _ in range(3):  # 12 = lcm window covering the pool twice
+        seen.extend(np.round(_arr(g.get_examples()), 9).tolist())
+    assert sorted(set(seen)) == pool
+
+
+def test_generator_algebra_type_errors():
+    g = G.Generator1D(8, 0, 1)
+    with pytest.raises(ValueError):
+        g + 3
+    with pytest.raises(ValueError):
+        g * "not a generator"
+    with pytest.raises(ValueError):
+        g ^ None

@@ -1,0 +1,119 @@
+"""Loss-registry tests (parity with reference ``losses.py:5-35`` and
+``tests/test_losses.py``): every entry maps (residual, funcs, coords) to a
+scalar, is differentiable, and computes the right value.
+
+The infinity norm in particular regressed once (signed max instead of
+``abs().max()``), so values are pinned against closed forms here.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from neurodiffeq_tpu import fields as F
+from neurodiffeq_tpu.fields import diff
+from neurodiffeq_tpu.losses import _losses
+from neurodiffeq_tpu.networks import FCNN
+
+N = 64
+
+
+@pytest.fixture
+def xy():
+    rng = np.random.RandomState(0)
+    return F.coordinates(rng.rand(N) * 2 - 1, rng.rand(N) + 0.5)
+
+
+def test_registry_names():
+    assert set(_losses) == {'l1', 'l2', 'infinity', 'h1', 'h1 semi'}
+
+
+@pytest.mark.parametrize('loss_name', list(_losses))
+@pytest.mark.parametrize('n_eq', [1, 3])
+def test_scalar_output_and_grad(loss_name, n_eq, xy):
+    """Reference contract (tests/test_losses.py:33-37): scalar out, has grad."""
+    x, y = xy
+    net = FCNN(n_input_units=2, n_output_units=1, hidden_units=(8,))
+    params = net.init(jax.random.PRNGKey(0))
+
+    def loss_of(p):
+        u = F.network_field(lambda xs: net.apply(p, xs), (x, y),
+                            module=net, params=p)
+        r = F.cat([diff(u, x) + u for _ in range(n_eq)], dim=1)
+        return _losses[loss_name](r, [u], [x, y])
+
+    val = loss_of(params)
+    assert jnp.shape(val) == ()
+    g = jax.grad(loss_of)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+def test_l1_l2_infinity_values(xy):
+    x, y = xy
+    xv = np.asarray(x.value).reshape(-1)
+    r = x ** 2 - 0.5  # signed residual: catches a missing abs()
+    assert np.isclose(float(_losses['l1'](r, [], [x, y])),
+                      np.abs(xv ** 2 - 0.5).mean())
+    assert np.isclose(float(_losses['l2'](r, [], [x, y])),
+                      ((xv ** 2 - 0.5) ** 2).mean())
+    assert np.isclose(float(_losses['infinity'](r, [], [x, y])),
+                      np.abs(xv ** 2 - 0.5).mean())  # single column: |.| itself
+
+
+def test_infinity_is_rowwise_max_of_abs(xy):
+    """infinity = mean over samples of max over equations of |residual|
+    (reference losses.py:13-14) — must NOT be the signed max."""
+    x, y = xy
+    xv = np.asarray(x.value).reshape(-1)
+    yv = np.asarray(y.value).reshape(-1)
+    r = F.cat([x * 0 - 2.0, F.sin(x), x * y], dim=1)
+    expected = np.maximum.reduce([np.full_like(xv, 2.0),
+                                  np.abs(np.sin(xv)),
+                                  np.abs(xv * yv)]).mean()
+    assert np.isclose(float(_losses['infinity'](r, [], [x, y])), expected)
+
+
+def test_h1_values_single_column(xy):
+    x, y = xy
+    xv = np.asarray(x.value).reshape(-1)
+    yv = np.asarray(y.value).reshape(-1)
+    r = x ** 2 * y  # dr/dx = 2xy, dr/dy = x^2
+    vals = np.stack([xv ** 2 * yv, 2 * xv * yv, xv ** 2], axis=1)
+    assert np.isclose(float(_losses['h1'](r, [], [x, y])), (vals ** 2).mean(),
+                      rtol=1e-6)
+    assert np.isclose(float(_losses['h1 semi'](r, [], [x, y])),
+                      (vals[:, 1:] ** 2).mean(), rtol=1e-6)
+
+
+def test_h1_multicolumn_sums_equations(xy):
+    """For an (N, n_eq) residual the reference's grad(residual, *coords) uses
+    grad_outputs=ones, i.e. differentiates the SUM of equation columns."""
+    x, y = xy
+    xv = np.asarray(x.value).reshape(-1)
+    r = F.cat([x ** 2, F.sin(x)], dim=1)
+    # d(x^2 + sin x)/dx = 2x + cos x ; d/dy = 0
+    cols = np.stack([xv ** 2, np.sin(xv),
+                     2 * xv + np.cos(xv), np.zeros_like(xv)], axis=1)
+    assert np.isclose(float(_losses['h1'](r, [], [x, y])), (cols ** 2).mean(),
+                      rtol=1e-6)
+    assert np.isclose(float(_losses['h1 semi'](r, [], [x, y])),
+                      (cols[:, 2:] ** 2).mean(), rtol=1e-6)
+
+
+@pytest.mark.parametrize('loss_name', ['l1', 'l2', 'infinity', 'h1', 'h1 semi'])
+def test_solver_accepts_loss_name(loss_name):
+    """Every registry entry trains end-to-end through the Solver."""
+    from neurodiffeq_tpu.solvers import Solver1D
+    from neurodiffeq_tpu.conditions import IVP
+    solver = Solver1D(
+        ode_system=lambda u, t: [diff(u, t) + u],
+        conditions=[IVP(0.0, 1.0)],
+        t_min=0.0, t_max=1.0,
+        loss_fn=loss_name,
+    )
+    solver.fit(max_epochs=3, tqdm_file=None)
+    losses = solver.metrics_history['train_loss']
+    assert len(losses) == 3
+    assert all(np.isfinite(l) and l >= 0 for l in losses)
