@@ -181,3 +181,69 @@ def test_monitors_smoke():
     m = temporal.Monitor2DSpatialTemporal(
         np.linspace(0, 1, 4), np.linspace(0, 1, 4), np.linspace(0, 1, 2), check_every=1)
     m.check(approx3, history)
+
+
+def test_history_metric_bookkeeping():
+    """metrics flow into history as train_<name>/valid_<name> per epoch
+    (reference temporal.py train/valid routines)."""
+    approximator, k, L, T = _heat_setup()
+    metric = lambda uu, xx, tt: float(np.abs(np.asarray(uu)).mean())  # noqa: E731
+    _, history = temporal._solve_1dspatial_temporal(
+        temporal.generator_1dspatial(8, 0, L),
+        temporal.generator_temporal(8, 0, T),
+        temporal.generator_1dspatial(8, 0, L, random=False),
+        temporal.generator_temporal(8, 0, T, random=False),
+        approximator, optax.adam(1e-3), batch_size=64, max_epochs=4,
+        shuffle=True, metrics={'mean_abs': metric}, monitor=None,
+    )
+    for key in ('train_loss', 'valid_loss', 'train_mean_abs', 'valid_mean_abs'):
+        assert key in history
+        assert len(history[key]) == 4
+        assert all(np.isfinite(v) for v in history[key])
+
+
+def test_2dspatial_converges_to_harmonic_boundary():
+    """Laplace with u = xy on the boundary: the exact solution is u = xy
+    (harmonic), so penalty training should approach it quickly."""
+    pde = lambda u, x, y: diff(u, x, 2) + diff(u, y, 2)  # noqa: E731
+    bcs = [
+        temporal.BoundaryCondition(
+            form=lambda u, x, y: u - x * y,
+            points_generator=temporal.generator_2dspatial_segment(16, s, e, random=False))
+        for s, e in [((0, 0), (1, 0)), ((1, 0), (1, 1)), ((1, 1), (0, 1)), ((0, 1), (0, 0))]
+    ]
+    net = FCNN(n_input_units=2, hidden_units=(16, 16))
+    approximator = temporal.SingleNetworkApproximator2DSpatial(
+        single_network=net, pde=pde, boundary_conditions=bcs, boundary_strictness=10.0)
+    approx, history = temporal._solve_2dspatial(
+        temporal.generator_2dspatial_rectangle((12, 12), 0, 1, 0, 1),
+        temporal.generator_2dspatial_rectangle((12, 12), 0, 1, 0, 1, random=False),
+        approximator, optax.adam(5e-3), batch_size=144, max_epochs=400,
+        shuffle=True, metrics={}, monitor=None,
+    )
+    xs, ys = np.random.rand(30), np.random.rand(30)
+    uu = np.asarray(approx(xs, ys))
+    assert np.abs(uu - xs * ys).max() < 0.1
+
+
+def test_boundary_condition_form_and_generator():
+    """BoundaryCondition stores form/points_generator; the penalty decreases
+    the boundary mismatch during training (reference test_boundary_condition)."""
+    bc = temporal.BoundaryCondition(
+        form=lambda u, x, t: u - 3.0,
+        points_generator=temporal.generator_1dspatial(4, 0, 0, random=False))
+    xs = np.asarray(next(bc.points_generator))
+    assert xs.shape == (4,)
+    assert np.allclose(xs, 0.0)
+
+
+def test_calculate_metrics_2dspatial():
+    pde = lambda u, x, y: diff(u, x, 2) + diff(u, y, 2)  # noqa: E731
+    net = FCNN(n_input_units=2, hidden_units=(8,))
+    approximator = temporal.SingleNetworkApproximator2DSpatial(
+        single_network=net, pde=pde, boundary_conditions=[])
+    out = approximator.calculate_metrics(
+        np.random.rand(6), np.random.rand(6),
+        {'m': lambda uu, xx, yy: float(np.asarray(uu).max())})
+    assert set(out) == {'m'}
+    assert np.isfinite(out['m'])
