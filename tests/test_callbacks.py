@@ -263,3 +263,94 @@ def test_integration_stop_on_converge():
     )
     s.fit(max_epochs=100, callbacks=[stop_cb], tqdm_file=None)
     assert s.global_epoch < 100
+
+
+def test_set_loss_fn_reset_semantics(solver):
+    """reset=False fires once; reset=True re-applies every epoch
+    (reference tests/test_callbacks.py:365-387)."""
+    calls = []
+    orig = solver._set_loss_fn
+
+    def spy(loss_fn):
+        calls.append(loss_fn)
+        return orig(loss_fn)
+
+    solver._set_loss_fn = spy
+    once = cb.SetLossFn('l1', reset=False)
+    once(solver)
+    once(solver)
+    assert len(calls) == 1
+    always = cb.SetLossFn('l2', reset=True)
+    always(solver)
+    always(solver)
+    assert len(calls) == 3
+
+
+def test_set_loss_fn_legacy_criterion_kwarg(solver):
+    with pytest.warns(FutureWarning):
+        c = cb.SetLossFn(criterion='l1')
+    c(solver)
+    assert len(solver.metrics_history['train_loss']) == 2  # untouched history
+
+
+def test_set_optimizer_instance_and_factory(solver):
+    old_params = solver.params
+    inst = cb.SetOptimizer(optax.sgd(1e-2))
+    inst(solver)
+    assert solver.optimizer is not None
+    st1 = solver.opt_state
+
+    fact = cb.SetOptimizer(optax.adamw, optimizer_args=(1e-3,))
+    fact(solver)
+    assert solver.opt_state is not st1
+    # params survive an optimizer swap
+    assert solver.params is old_params or all(
+        np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            __import__('jax').tree.leaves(old_params),
+            __import__('jax').tree.leaves(solver.params)))
+
+
+def test_monitor_callback_counts_checks(solver):
+    class StubMonitor:
+        def __init__(self):
+            self.n = 0
+            self.fig = None
+
+        def check(self, nets, conditions, history, **kwargs):
+            self.n += 1
+
+    m = StubMonitor()
+    mc = cb.MonitorCallback(m)
+    mc(solver)
+    mc(solver)
+    assert m.n == 2
+
+
+def test_monitor_callback_deprecated_kwargs():
+    class StubMonitor:
+        fig = None
+
+        def check(self, *a, **k):
+            pass
+
+    with pytest.warns(FutureWarning):
+        cb.MonitorCallback(StubMonitor(), check_against_local=True)
+
+
+def test_on_first_global_and_last_local(solver):
+    # global_epoch is a read-only property = len(train_loss history)
+    solver.metrics_history['train_loss'] = [1.0]
+    assert cb.OnFirstGlobal().condition(solver)
+    solver.metrics_history['train_loss'] = [1.0, 0.9]
+    assert not cb.OnFirstGlobal().condition(solver)
+
+    solver.local_epoch = solver._max_local_epoch
+    assert cb.OnLastLocal().condition(solver)
+    solver.local_epoch = solver._max_local_epoch - 1
+    assert not cb.OnLastLocal().condition(solver)
+
+
+def test_progress_bar_callback(solver):
+    pb = cb.ProgressBarCallBack()
+    pb(solver)  # no tqdm bar attached: must be a no-op, not a crash

