@@ -193,6 +193,12 @@ class BaseSolver(ABC, PretrainedSolver):
         key = key if key is not None else next_rng_key()
         init_keys = jax.random.split(key, len(unique_nets))
         self.params = [net.init(k) for net, k in zip(unique_nets, init_keys)]
+        if self.mesh is not None and 'model' in self.mesh.axis_names:
+            # Megatron tensor parallelism over hidden units: committed input
+            # shardings propagate through jit, and the optimizer state
+            # initialized below inherits the same layout.
+            from .parallel import shard_params
+            self.params = shard_params(self.params, self.mesh)
 
         self.metrics_fn = metrics if metrics else {}
         if analytic_solutions:
