@@ -189,50 +189,36 @@ def bench_spherical_poisson(epochs=20000):
                 points_per_sec=round(pps, 1), max_rel_err_vs_analytic=round(float(rel.max()), 5))
 
 
-def bench_lid_driven_cavity(epochs=500, grid=32, hidden=256, Re=100.0):
-    """Steady lid-driven cavity at RE=100 (reference
-    experiments/lid-driven-cavity-RE100.ipynb: single-hidden-layer 256-unit
-    nets per variable, penalty boundary conditions). Benchmarks throughput of
-    the coupled (u, v, p) Navier-Stokes residual training; full convergence
-    takes the notebook's 50k epochs."""
-    set_seed(0)
-    nu = 1.0 / Re
+def bench_lid_driven_cavity(epochs=80000, Re=100.0):
+    """Steady lid-driven cavity at RE=100, quality-checked against the Ghia,
+    Ghia & Shin (1982) centerline profiles (the same tables the reference
+    notebook plots, experiments/lid-driven-cavity-RE100.ipynb cell 11).
 
-    def ns(u, v, p, x, y):
-        # steady incompressible NS + continuity
-        mom_x = (u * diff(u, x) + v * diff(u, y) + diff(p, x)
-                 - nu * (diff(u, x, 2) + diff(u, y, 2)))
-        mom_y = (u * diff(v, x) + v * diff(v, y) + diff(p, y)
-                 - nu * (diff(v, x, 2) + diff(v, y, 2)))
-        cont = diff(u, x) + diff(v, y)
-        return [mom_x, mom_y, cont]
+    Round-2 finding (benchmarks/RESULTS.md): the notebook's shallow 256-unit
+    configuration is basin-unstable under its own protocol in BOTH frameworks
+    (training transits the physical vortex around step ~8k then drifts out;
+    gradients are bit-identical to torch, tests/test_torch_parity.py). The
+    benchmarked config is the converged recipe: hard-constraint trial
+    functions, FCNN 2-(128x5)-3 shared net, 16,384 fresh uniform points per
+    step, one cosine anneal 1e-3 -> 1e-5 over the run.
+    """
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "._ldc", os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                              "examples", "lid_driven_cavity.py"))
+    ldc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ldc)
 
-    class CavitySolver(Solver2D):
-        """Penalty boundary terms like the reference experiment's approach."""
-
-        def additional_loss(self, residual, funcs, coords):
-            u, v, p = funcs
-            x, y = coords
-            # boundary masks built from the sampled batch (soft penalties)
-            xv, yv = x.value, y.value
-            uv, vv, pv = u.value, v.value, p.value
-            on_wall = ((xv < 1e-2) | (xv > 1 - 1e-2) | (yv < 1e-2)).astype(xv.dtype)
-            on_lid = (yv > 1 - 1e-2).astype(xv.dtype)
-            loss = ((on_wall * uv) ** 2).mean() + ((on_wall * vv) ** 2).mean()
-            loss = loss + ((on_lid * (uv - 1.0)) ** 2).mean() + ((on_lid * vv) ** 2).mean()
-            return 10.0 * loss
-
-    solver = CavitySolver(
-        pde_system=ns,
-        conditions=[NoCondition(), NoCondition(), NoCondition()],
-        xy_min=(0, 0), xy_max=(1, 1),
-        nets=[FCNN(2, 1, hidden_units=(hidden,)) for _ in range(3)],
-        train_generator=Generator2D((grid, grid), (0, 0), (1, 1), method='equally-spaced-noisy'),
-        valid_generator=Generator2D((grid, grid), (0, 0), (1, 1), method='equally-spaced'),
-    )
-    eps, pps = _timed_fit(solver, epochs, grid * grid)
+    set_seed(4)
+    solver = ldc.build_deep(Re=Re, anneal_steps=epochs)
+    eps, pps = _timed_fit(solver, epochs, 16384)
+    sol = solver.get_solution(best=False)
+    u_err, v_err = ldc.ghia_errors(sol)
     return dict(name='lid_driven_cavity_re100', epochs_per_sec=round(eps, 1),
                 points_per_sec=round(pps, 1),
+                ghia_centerline_max_err_u=round(u_err, 4),
+                ghia_centerline_max_err_v=round(v_err, 4),
                 final_train_loss=round(float(solver.metrics_history['train_loss'][-1]), 6))
 
 

@@ -14,8 +14,14 @@ Two formulations:
 
 - ``penalty``: soft boundary losses (the temporal-subsystem style).
 
-Run: python examples/lid_driven_cavity.py [epochs] [hard|penalty]
-(The reference notebook trains 50,000 epochs; a few thousand shows the vortex.)
+- ``deep`` (RECOMMENDED): same hard constraints with a 5x128 net and 16,384
+  uniform points per step — converges to ~0.05 max centerline deviation from
+  Ghia et al. (1982) in ~80k steps (~9 min on one v5e chip). The shallow
+  notebook configuration is basin-unstable in both frameworks (see
+  benchmarks/RESULTS.md).
+
+Run: python examples/lid_driven_cavity.py [epochs] [deep|hard|penalty]
+(e.g. `python examples/lid_driven_cavity.py 80000 deep`)
 """
 import sys
 import os
@@ -75,22 +81,66 @@ def navier_stokes(Re):
 
 def build_hard(Re=100.0, grid=64, hidden=256):
     """The notebook's configuration: shared FCNN(2, 3), hard constraints,
-    64x64 random collocation grid."""
+    uniform random collocation points strictly INSIDE the domain (the
+    notebook's generator_2dspatial_rectangle(random=True)).
+
+    In-domain sampling matters here: the lid profile's e^{+-50x} layers make
+    the residual explode just OUTSIDE [0,1], so grid-plus-gaussian-noise
+    sampling (which steps out of the domain near walls) poisons the loss.
+    """
     import warnings
+    from neurodiffeq_tpu.generators import Generator1D
     net = FCNN(n_input_units=2, n_output_units=3, hidden_units=(hidden,))
     conds = [HardCavityU(), HardCavityV(), HardCavityP()]
     with warnings.catch_warnings():
         warnings.simplefilter('ignore', DeprecationWarning)
         for i, c in enumerate(conds):
             c.set_impose_on(i)
+    n = grid * grid
+    uniform2d = (Generator1D(n, 0.0, 1.0, method='uniform')
+                 * Generator1D(n, 0.0, 1.0, method='uniform'))
     return Solver2D(
         pde_system=navier_stokes(Re),
         conditions=conds,
         xy_min=(0, 0), xy_max=(1, 1),
         nets=[net, net, net],
-        train_generator=Generator2D((grid, grid), (0, 0), (1, 1), method='equally-spaced-noisy'),
+        train_generator=uniform2d,
         valid_generator=Generator2D((grid, grid), (0, 0), (1, 1), method='equally-spaced'),
         n_batches_valid=0,
+    )
+
+
+def build_deep(Re=100.0, n_points=16384, hidden=(128,) * 5, anneal_steps=80000):
+    """The RECOMMENDED configuration (round-2 study): the notebook's shallow
+    256-unit net cannot hold both the lid corner layers and the interior
+    vortex — training transits the physical basin around step ~8k and then
+    drifts out (in the reference's own torch implementation too; gradients
+    are bit-identical, see tests/test_torch_parity.py). Depth + points fix
+    it: a 5x128 net on 16,384 fresh uniform points per step with one cosine
+    anneal reaches max centerline deviation ~0.05 from Ghia et al. (1982)
+    in ~9 minutes on one TPU v5e chip (~540x more steps/s than the
+    reference's torch-CPU protocol).
+    """
+    import optax
+    import warnings
+    from neurodiffeq_tpu.generators import Generator1D
+    net = FCNN(n_input_units=2, n_output_units=3, hidden_units=tuple(hidden))
+    conds = [HardCavityU(), HardCavityV(), HardCavityP()]
+    with warnings.catch_warnings():
+        warnings.simplefilter('ignore', DeprecationWarning)
+        for i, c in enumerate(conds):
+            c.set_impose_on(i)
+    uniform2d = (Generator1D(n_points, 0.0, 1.0, method='uniform')
+                 * Generator1D(n_points, 0.0, 1.0, method='uniform'))
+    return Solver2D(
+        pde_system=navier_stokes(Re),
+        conditions=conds,
+        xy_min=(0, 0), xy_max=(1, 1),
+        nets=[net, net, net],
+        train_generator=uniform2d,
+        valid_generator=Generator2D((32, 32), (0, 0), (1, 1), method='equally-spaced'),
+        n_batches_valid=0,
+        optimizer=optax.adam(optax.cosine_decay_schedule(1e-3, anneal_steps, alpha=0.01)),
     )
 
 
@@ -117,12 +167,47 @@ def build_penalty(Re=100.0, grid=32, hidden=256):
     )
 
 
-def main(epochs=3000, mode='hard', Re=100.0, plot_prefix='cavity'):
-    set_seed(0)
-    solver = build_hard(Re) if mode == 'hard' else build_penalty(Re)
+# Ghia, Ghia & Shin (1982) benchmark profiles for Re=100 (129x129 grid):
+# u along the vertical centerline x=0.5 and v along the horizontal
+# centerline y=0.5 (the same tables the reference notebook plots against,
+# experiments/lid-driven-cavity-RE100.ipynb cell 11).
+GHIA_Y = np.array([1.0000, 0.9766, 0.9688, 0.9609, 0.9531, 0.8516,
+                   0.7344, 0.6172, 0.5000, 0.4531, 0.2813, 0.1719,
+                   0.1016, 0.0703, 0.0625, 0.0547, 0.0000])
+GHIA_U = np.array([1.00000, 0.84123, 0.78871, 0.73722, 0.68717, 0.23151,
+                   0.00332, -.13641, -.20581, -.21090, -.15662, -.10150,
+                   -.06434, -.04775, -.04192, -.03717, 0.00000])
+GHIA_X = np.array([1.0000, 0.9688, 0.9609, 0.9531, 0.9453, 0.9063,
+                   0.8594, 0.8047, 0.5000, 0.2344, 0.2266, 0.1563,
+                   0.0938, 0.0781, 0.0703, 0.0625, 0.0000])
+GHIA_V = np.array([0.00000, -.05906, -.07391, -.08864, -.10313, -.16914,
+                   -.22445, -.24533, 0.05454, 0.17527, 0.17507, 0.16077,
+                   0.12317, 0.10890, 0.10091, 0.09233, 0.00000])
+
+
+def ghia_errors(sol):
+    """Max abs deviation of centerline u/v profiles from the Ghia tables."""
+    u_mid, _, _ = sol(0.5 * np.ones_like(GHIA_Y), GHIA_Y)
+    _, v_mid, _ = sol(GHIA_X, 0.5 * np.ones_like(GHIA_X))
+    u_err = np.abs(np.asarray(u_mid).reshape(-1) - GHIA_U).max()
+    v_err = np.abs(np.asarray(v_mid).reshape(-1) - GHIA_V).max()
+    return float(u_err), float(v_err)
+
+
+def main(epochs=3000, mode='hard', Re=100.0, plot_prefix='cavity', grid=None):
+    set_seed(4 if mode == 'deep' else 0)
+    kwargs = {} if grid is None else {'grid': grid}
+    if mode == 'deep':
+        solver = build_deep(Re, anneal_steps=epochs)
+    elif mode == 'hard':
+        solver = build_hard(Re, **kwargs)
+    else:
+        solver = build_penalty(Re, **kwargs)
     import time
     t0 = time.perf_counter()
-    solver.fit(max_epochs=epochs)
+    # tqdm_file=None keeps fit() on the chunked on-device scan (a live
+    # progress bar would force one host sync per epoch — 10-100x slower)
+    solver.fit(max_epochs=epochs, tqdm_file=None)
     dt = time.perf_counter() - t0
     print(f"{mode}: {epochs} epochs in {dt:.1f}s ({epochs / dt:.0f} ep/s), "
           f"final train loss: {solver.metrics_history['train_loss'][-1]:.3e}")
@@ -135,6 +220,8 @@ def main(epochs=3000, mode='hard', Re=100.0, plot_prefix='cavity'):
     xs = np.linspace(0, 1, 17)
     _, v_x, _ = sol(xs, 0.5 * np.ones(17))
     print("v(x, 0.5):", np.round(np.asarray(v_x).reshape(-1), 4))
+    u_err, v_err = ghia_errors(sol)
+    print(f"max |u - Ghia| on centerline: {u_err:.4f}; max |v - Ghia|: {v_err:.4f}")
 
     try:
         import matplotlib
@@ -168,4 +255,5 @@ def main(epochs=3000, mode='hard', Re=100.0, plot_prefix='cavity'):
 
 if __name__ == '__main__':
     main(epochs=int(sys.argv[1]) if len(sys.argv) > 1 else 3000,
-         mode=sys.argv[2] if len(sys.argv) > 2 else 'hard')
+         mode=sys.argv[2] if len(sys.argv) > 2 else 'hard',
+         grid=int(sys.argv[3]) if len(sys.argv) > 3 else None)
