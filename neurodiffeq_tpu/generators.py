@@ -25,6 +25,7 @@ __all__ = [
     'GeneratorSpherical', 'ConcatGenerator', 'StaticGenerator', 'PredefinedGenerator',
     'TransformGenerator', 'EnsembleGenerator', 'MeshGenerator', 'FilterGenerator',
     'ResampleGenerator', 'BatchGenerator', 'SamplerGenerator',
+    'ResidualAdaptiveGenerator',
 ]
 
 
@@ -74,6 +75,7 @@ class BaseGenerator:
     """
 
     jittable = True
+    adaptive = False
 
     def __init__(self):
         self.size = None
@@ -806,6 +808,77 @@ class BatchGenerator(BaseGenerator):
         return d
 
 
+class ResidualAdaptiveGenerator(BaseGenerator):
+    """Residual-based adaptive collocation sampling (no reference analog).
+
+    Every training step draws ``oversample`` independent batches from the
+    wrapped generator, scores each candidate point by the magnitude of the
+    current equation residual, and keeps ``generator.size`` of them:
+
+    - ``strategy='power'`` (default): indices are drawn with probability
+      proportional to ``score**alpha / mean(score**alpha) + c`` — the RAD
+      scheme of Wu et al. (2023), *A comprehensive study of non-adaptive and
+      residual-based adaptive sampling for PINNs* (``alpha=1, c=1`` defaults).
+    - ``strategy='topk'``: greedily keep the worst-residual points (RAR-D
+      style). Sharper but can starve low-residual regions; prefer ``power``.
+
+    The reference library has no adaptive sampling — its only batch
+    adaptation is the Eve callback doubling ``n_batches`` (reference
+    ``callbacks.py:187-230``). Here selection is a pure static-shape function
+    of ``(key, params)``, so it runs *inside* the jitted train step: solvers
+    detect ``adaptive`` generators and inject a residual scorer
+    (``BaseSolver._residual_scores``). Used standalone or as a validation
+    generator it degenerates to the base generator's plain sampling.
+    """
+
+    adaptive = True
+
+    def __init__(self, generator, oversample=4, strategy='power', alpha=1.0, c=1.0):
+        super().__init__()
+        self.check_generator(generator)
+        if not generator.jittable:
+            raise ValueError('ResidualAdaptiveGenerator requires a jittable base generator')
+        if strategy not in ('power', 'topk'):
+            raise ValueError(f"unknown strategy {strategy!r}; expected 'power' or 'topk'")
+        if int(oversample) < 1:
+            raise ValueError(f'oversample must be >= 1, got {oversample}')
+        self.generator = generator
+        self.size = generator.size
+        self.oversample = int(oversample)
+        self.strategy = strategy
+        self.alpha = alpha
+        self.c = c
+
+    def sample(self, key):
+        return self.generator.sample(key)
+
+    def sample_scored(self, key, scorer):
+        """Draw ``oversample * size`` candidates, keep ``size`` by score.
+
+        ``scorer`` maps a tuple of coordinate arrays to per-point scores
+        ``(M,)``; selection is detached (integer gather of stop_gradient
+        scores), so no gradient flows through the chosen points.
+        """
+        keys = jax.random.split(key, self.oversample + 1)
+        draws = [_as_tuple(self.generator.sample(k)) for k in keys[1:]]
+        cand = tuple(jnp.concatenate([d[i] for d in draws]) for i in range(len(draws[0])))
+        scores = jax.lax.stop_gradient(scorer(cand)).reshape(-1)
+        if self.strategy == 'topk':
+            _, idx = jax.lax.top_k(scores, self.size)
+        else:
+            w = jnp.power(scores, self.alpha)
+            p = w / (jnp.mean(w) + jnp.finfo(w.dtype).tiny) + self.c
+            idx = jax.random.categorical(keys[0], jnp.log(p), shape=(self.size,))
+        out = tuple(c[idx] for c in cand)
+        return out if len(out) > 1 else out[0]
+
+    def _internal_vars(self) -> dict:
+        d = super()._internal_vars()
+        d.update(dict(generator=self.generator, oversample=self.oversample,
+                      strategy=self.strategy, alpha=self.alpha, c=self.c))
+        return d
+
+
 class SamplerGenerator(BaseGenerator):
     """Wraps a generator so every sample comes back as a list of ``(N, 1)``
     column arrays (what the solvers consume; reference ``generators.py:1046-1064``)."""
@@ -819,8 +892,19 @@ class SamplerGenerator(BaseGenerator):
     def jittable(self):
         return self.generator.jittable
 
+    @property
+    def adaptive(self):
+        return getattr(self.generator, 'adaptive', False)
+
     def sample(self, key):
         samples = _as_tuple(self.generator.sample(key))
+        return [u.reshape(-1, 1) for u in samples]
+
+    def sample_scored(self, key, scorer):
+        """Adaptive variant of ``sample``; adapts the solver's column-wise
+        scorer to the wrapped generator's raw coordinate tuples."""
+        samples = _as_tuple(self.generator.sample_scored(
+            key, lambda cand: scorer([u.reshape(-1, 1) for u in cand])))
         return [u.reshape(-1, 1) for u in samples]
 
     def get_examples(self):

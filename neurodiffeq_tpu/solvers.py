@@ -379,6 +379,36 @@ class BaseSolver(ABC, PretrainedSolver):
         }
         return loss, metrics
 
+    def _residual_scores(self, params, cols):
+        """Per-point residual magnitude (L2 norm over equations) — the
+        epsilon(x) score of Wu et al. (2023), so the generator's default
+        ``alpha=1`` matches the RAD k=1 recommendation exactly.
+
+        Injected into ``ResidualAdaptiveGenerator.sample_scored`` so adaptive
+        collocation selection runs inside the jitted step with the *current*
+        parameters. Detached: point selection never carries gradients.
+        """
+        if self.eval_mode is not None:
+            from .fields import eval_mode
+            with eval_mode(self.eval_mode):
+                funcs, coord_fields = self._forward(params, cols)
+                residual = self._residuals(funcs, coord_fields)
+        else:
+            funcs, coord_fields = self._forward(params, cols)
+            residual = self._residuals(funcs, coord_fields)
+        r = residual.value
+        return jax.lax.stop_gradient(jnp.sqrt(jnp.sum(r * r, axis=1)))
+
+    def _train_sample_fn(self):
+        """``(key, params) -> cols`` for the train phase; residual-adaptive
+        generators get the scorer bound, plain generators ignore ``params``."""
+        gen = self.generator['train']
+        if getattr(gen, 'adaptive', False):
+            return lambda key, params: gen.sample_scored(
+                key, lambda cols: self._residual_scores(params, cols))
+        sample = gen.sample
+        return lambda key, params: sample(key)
+
     # ---------------------------------------------------------- compiled epochs
 
     def _get_compiled(self, name, builder):
@@ -389,9 +419,8 @@ class BaseSolver(ABC, PretrainedSolver):
         return fn
 
     def _build_train_epoch(self):
-        gen = self.generator['train']
         n_batches = self.n_batches['train']
-        sample = gen.sample
+        sample = self._train_sample_fn()
         optimizer = self.optimizer
 
         if self._closure_style:
@@ -400,7 +429,7 @@ class BaseSolver(ABC, PretrainedSolver):
 
                 def body(carry, k):
                     params, opt_state = carry
-                    cols = sample(k)
+                    cols = sample(k, params)
                     (loss, metrics), grads = jax.value_and_grad(
                         self._loss_and_metrics, has_aux=True)(params, cols)
                     value_fn = lambda p: self._loss_and_metrics(p, cols)[0]
@@ -418,7 +447,7 @@ class BaseSolver(ABC, PretrainedSolver):
 
                 def body(carry, k):
                     grads_acc, loss_acc, m_acc = carry
-                    cols = sample(k)
+                    cols = sample(k, params)
                     (loss, metrics), grads = jax.value_and_grad(
                         self._loss_and_metrics, has_aux=True)(params, cols)
                     return (_tree_add(grads_acc, grads), loss_acc + loss,
@@ -500,8 +529,13 @@ class BaseSolver(ABC, PretrainedSolver):
         r"""Host-side batch generation (for non-jittable generators and the
         ``additional_loss``-inspection API)."""
         self._phase = key
-        samples = self.generator[key].get_examples()
-        self._batch[key] = [v.reshape(-1, 1) for v in samples]
+        gen = self.generator[key]
+        if key == 'train' and getattr(gen, 'adaptive', False):
+            self._batch[key] = gen.sample_scored(
+                next_rng_key(), lambda cols: self._residual_scores(self.params, cols))
+        else:
+            samples = gen.get_examples()
+            self._batch[key] = [v.reshape(-1, 1) for v in samples]
         return self._batch[key]
 
     def _generate_train_batch(self):
