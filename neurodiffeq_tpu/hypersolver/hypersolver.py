@@ -92,8 +92,16 @@ class Hypersolver:
         self._inputs = jnp.concatenate([self.ts.reshape(-1, 1), self.us], axis=1)
 
     def _loss(self, params):
+        # Pair target R_i (the defect of the step t_i -> t_{i+1}) with the
+        # net evaluated at the step START (t_i, u_i) — matching how the
+        # rollout applies the correction (numerical_solvers.py solve()).
+        # DIVERGENCE from the reference: hypersolver.py:71 trains against
+        # output[1:], i.e. (t_{i+1}, u_{i+1}) — an off-by-one between
+        # training and rollout that caps the corrector's benefit (~1.2x on
+        # Heun); with the aligned pairing the corrector reaches its h^{p+1}
+        # design accuracy (see tests/test_hypersolver.py).
         output = self.net.apply(params, self._inputs)
-        return ((self.residual - output[1:]) ** 2).mean()
+        return ((self.residual - output[:-1]) ** 2).mean()
 
     def fit(self, max_epochs):
         """Train the corrector for ``max_epochs`` epochs (scanned on device)."""

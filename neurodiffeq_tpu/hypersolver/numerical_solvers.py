@@ -1,10 +1,12 @@
 r"""Numerical ODE integrators with optional neural correction.
 
 Capability parity with the reference's
-``neurodiffeq/hypersolver/numerical_solvers.py:5-31``, designed for XLA: the
-inherently sequential rollout is a ``jax.lax.scan`` instead of a Python loop,
-so the whole trajectory (with the hypernet correction applied every step)
-compiles to one fused device program.
+``neurodiffeq/hypersolver/numerical_solvers.py:5-31`` (which ships only
+forward Euler), designed for XLA: the inherently sequential rollout is a
+``jax.lax.scan`` instead of a Python loop, so the whole trajectory (with the
+hypernet correction applied every step) compiles to one fused device
+program. Beyond the reference, ``Heun`` provides a second-order base
+integrator whose corrector learns the :math:`O(h^3)` local defect.
 """
 from abc import ABC, abstractmethod
 
@@ -12,24 +14,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ['NumericalSolver', 'Euler']
+__all__ = ['NumericalSolver', 'Euler', 'Heun']
 
 
 class NumericalSolver(ABC):
-    @abstractmethod
-    def solve(self, func, u0, t0, tn, n_steps):
-        pass  # pragma: no cover
-
-    @abstractmethod
-    def step(self, func, u, t, h):
-        pass  # pragma: no cover
-
-
-class Euler(NumericalSolver):
-    r"""Forward Euler with optional neural corrector:
-    :math:`u_{i+1} = u_i + h f(u_i, t_i) + h^2\,\mathrm{hypernet}(t_i, u_i)`.
+    r"""Base integrator: subclasses define ``order`` (global order p) and
+    ``step`` returning the increment slope :math:`\Phi(u, t, h)` so that
+    :math:`u_{i+1} = u_i + h\,\Phi`. The shared rollout applies an optional
+    neural corrector scaled by :math:`h^{p+1}` (the local truncation order).
     """
-    order = 1
+
+    order = None
 
     def solve(self, func, u0, t0, tn, n_steps, hypernet=None, params=None):
         """Roll out the integrator over ``n_steps``; returns
@@ -49,7 +44,8 @@ class Euler(NumericalSolver):
             u_new = u + h * du
             if hypernet is not None:
                 inp = jnp.concatenate([jnp.reshape(t, (1,)), u])
-                u_new = u_new + h ** 2 * jnp.reshape(hypernet.apply(params, inp), u.shape)
+                u_new = u_new + h ** (self.order + 1) * jnp.reshape(
+                    hypernet.apply(params, inp), u.shape)
             return u_new, u_new
 
         _, us_tail = jax.lax.scan(scan_step, u0, ts[:-1])
@@ -60,8 +56,35 @@ class Euler(NumericalSolver):
             ans.append(us[:, j])
         return ans
 
+    @abstractmethod
+    def step(self, func, u, t, h):
+        pass  # pragma: no cover
+
+
+class Euler(NumericalSolver):
+    r"""Forward Euler with optional neural corrector:
+    :math:`u_{i+1} = u_i + h f(u_i, t_i) + h^2\,\mathrm{hypernet}(t_i, u_i)`
+    (reference ``numerical_solvers.py:15-31``).
+    """
+    order = 1
+
     def step(self, func, u, t, h):
         return func(*u, t)
+
+
+class Heun(NumericalSolver):
+    r"""Heun's method (explicit trapezoidal, global order 2) with an
+    :math:`h^3`-scaled neural corrector — no reference analog (the reference
+    ships Euler only):
+    :math:`\Phi = \tfrac12\left[f(u_i, t_i) + f(u_i + h f(u_i, t_i), t_i + h)\right]`.
+    """
+    order = 2
+
+    def step(self, func, u, t, h):
+        k1 = _as_seq(func(*u, t))
+        u_pred = [ui + h * k for ui, k in zip(u, k1)]
+        k2 = _as_seq(func(*u_pred, t + h))
+        return [0.5 * (a + b) for a, b in zip(k1, k2)]
 
 
 def _as_seq(x):

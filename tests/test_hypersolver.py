@@ -56,3 +56,61 @@ def test_hypersolver_sin_cos_system():
     u1, u2 = solution(ts)
     assert np.allclose(np.asarray(u1), np.sin(ts), atol=1e-2)
     assert np.allclose(np.asarray(u2), np.cos(ts), atol=1e-2)
+
+
+def test_heun_is_second_order():
+    """Global error of plain Heun halves its rate vs Euler: quartering h
+    should cut the error ~16x (order 2); accept anything > 3x per halving."""
+    from neurodiffeq_tpu.hypersolver import Heun
+    errs = []
+    for n in (10, 20, 40):
+        ts_ret = Heun().solve(lambda u, t: [-u], 1.0, 0.0, 2.0, n)
+        ts, us = np.asarray(ts_ret[0]), np.asarray(ts_ret[1])
+        errs.append(np.abs(us - np.exp(-ts)).max())
+    assert errs[0] / errs[1] > 3.0
+    assert errs[1] / errs[2] > 3.0
+
+
+def test_heun_beats_euler_at_equal_steps():
+    from neurodiffeq_tpu.hypersolver import Heun
+    ts = np.linspace(0, 2, 37)
+    us_heun, = DiscreteSolution1D(*Heun().solve(lambda u, t: [-u], 1.0, 0.0, 2.0, 20))(ts)
+    us_euler, = DiscreteSolution1D(*Euler().solve(lambda u, t: [-u], 1.0, 0.0, 2.0, 20))(ts)
+    err_heun = np.abs(np.asarray(us_heun) - np.exp(-ts)).max()
+    err_euler = np.abs(np.asarray(us_euler) - np.exp(-ts)).max()
+    assert err_heun < err_euler / 5
+
+
+def test_hypersolver_with_heun_corrector():
+    """The h^3 corrector should beat plain Heun on a coarse grid. Compare at
+    the GRID points: between them both arms are limited by
+    DiscreteSolution1D's linear interpolation (~u'' h^2/8 ≈ 5e-3 at h=0.2),
+    which would mask the integrator improvement entirely."""
+    from neurodiffeq_tpu.hypersolver import Heun
+    sol_fn = lambda ts: [np.exp(-np.asarray(ts))]  # noqa: E731
+    hs = Hypersolver(
+        func=lambda u, t: [-u], u0=1.0, t0=0.0, tn=2.0, n_steps=10,
+        sol=sol_fn, numerical_solver=Heun(),
+    )
+    hs.fit(max_epochs=3000)
+    ts = np.asarray(hs.ts)
+    us_corrected, = hs.get_solution()(ts)
+    us_plain, = DiscreteSolution1D(*Heun().solve(lambda u, t: [-u], 1.0, 0.0, 2.0, 10))(ts)
+    err_corrected = np.abs(np.asarray(us_corrected) - np.exp(-ts)).max()
+    err_plain = np.abs(np.asarray(us_plain) - np.exp(-ts)).max()
+    assert err_corrected < err_plain / 5
+    assert err_corrected < 1e-4
+
+
+def test_hypersolver_heun_system():
+    from neurodiffeq_tpu.hypersolver import Heun
+    sol_fn = lambda ts: [np.sin(np.asarray(ts)), np.cos(np.asarray(ts))]  # noqa: E731
+    hs = Hypersolver(
+        func=lambda u1, u2, t: [u2, -u1], u0=(0.0, 1.0), t0=0.0, tn=np.pi, n_steps=30,
+        sol=sol_fn, numerical_solver=Heun(),
+    )
+    hs.fit(max_epochs=2000)
+    ts = np.linspace(0, np.pi, 29)
+    u1, u2 = hs.get_solution()(ts)
+    assert np.allclose(np.asarray(u1), np.sin(ts), atol=2e-3)
+    assert np.allclose(np.asarray(u2), np.cos(ts), atol=2e-3)
