@@ -99,7 +99,7 @@ class ScaledOutput(BaseCondition):
         return self.scale * out
 
 
-def stream_vorticity(Re, w_weight=1.0):
+def stream_vorticity(Re):
     nu = 1.0 / Re
 
     def eqs(psi, w, x, y):
@@ -107,13 +107,14 @@ def stream_vorticity(Re, w_weight=1.0):
         v = -diff(psi, x)
         r_def = w + diff(psi, x, 2) + diff(psi, y, 2)
         r_transport = u * diff(w, x) + v * diff(w, y) - nu * (diff(w, x, 2) + diff(w, y, 2))
-        return [w_weight * r_def, r_transport]
+        return [r_def, r_transport]
 
     return eqs
 
 
 def build(Re=100.0, n_points=16384, hidden=(128,) * 5, anneal_steps=20000,
-          w_scale=50.0, w_weight=0.3, lid_band_k=20.0, adaptive=False, seed=4):
+          w_scale=50.0, w_weight=0.3, lid_band_k=20.0, adaptive=False, seed=4,
+          **solver_kwargs):
     import optax
     import warnings
     set_seed(seed)
@@ -127,8 +128,11 @@ def build(Re=100.0, n_points=16384, hidden=(128,) * 5, anneal_steps=20000,
            * Generator1D(n_points, 0.0, 1.0, method='uniform'))
     if adaptive:
         gen = ResidualAdaptiveGenerator(gen, oversample=2)
+    # w_weight down-weights the vorticity-definition residual relative to
+    # transport (hand-tuned 0.3; equivalent quadratic loss weight w_weight^2)
     return Solver2D(
-        pde_system=stream_vorticity(Re, w_weight),
+        pde_system=stream_vorticity(Re),
+        residual_weights=[w_weight ** 2, 1.0],
         conditions=conds,
         xy_min=(0, 0), xy_max=(1, 1),
         nets=[net, net],
@@ -136,6 +140,7 @@ def build(Re=100.0, n_points=16384, hidden=(128,) * 5, anneal_steps=20000,
         valid_generator=Generator2D((32, 32), (0, 0), (1, 1), method='equally-spaced'),
         n_batches_valid=0,
         optimizer=optax.adam(optax.cosine_decay_schedule(1e-3, anneal_steps, alpha=0.01)),
+        **solver_kwargs,
     )
 
 

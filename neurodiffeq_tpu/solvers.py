@@ -137,7 +137,7 @@ class BaseSolver(ABC, PretrainedSolver):
                  nets=None, train_generator=None, valid_generator=None, analytic_solutions=None,
                  optimizer=None, loss_fn=None, n_batches_train=1, n_batches_valid=4,
                  metrics=None, n_input_units=None, n_output_units=None,
-                 key=None, mesh=None, eval_mode=None,
+                 key=None, mesh=None, eval_mode=None, residual_weights=None,
                  # deprecated arguments
                  shuffle=None, batch_size=None):
         if shuffle:
@@ -156,6 +156,23 @@ class BaseSolver(ABC, PretrainedSolver):
         self.n_funcs = len(conditions)
         self.n_input_units = n_input_units
         self.mesh = mesh
+        # None | sequence of per-equation loss weights. (An automatic
+        # per-batch inverse-mean-square 'balance' mode was built and
+        # REJECTED on measurement: the weight of a well-trained equation
+        # grows like 1/ms_k, amplifying its gradient noise without bound —
+        # it degraded every shared- and separate-net testbed and NaN'd the
+        # cavity; see benchmarks/RESULTS.md. Static weights + Adam's
+        # per-parameter normalization are the robust tool.)
+        if residual_weights is not None:
+            try:
+                residual_weights = [float(w) for w in residual_weights]
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"residual_weights must be None or a sequence of positive "
+                    f"numbers; got {residual_weights!r}")
+            if any(w <= 0 for w in residual_weights):
+                raise ValueError("residual_weights must be positive")
+        self.residual_weights = residual_weights
         # 'taylor' | 'compose' | None (None = the global default, see
         # fields.set_eval_mode); applied while the loss is traced
         self.eval_mode = eval_mode
@@ -354,11 +371,28 @@ class BaseSolver(ABC, PretrainedSolver):
         ]
         return funcs, coord_fields
 
-    def _residuals(self, funcs, coord_fields):
+    def _residuals(self, funcs, coord_fields, weighted=False):
         residuals = self.diff_eqs(*funcs, *coord_fields)
         if isinstance(residuals, Field):
             residuals = [residuals]
+        if weighted and self.residual_weights is not None:
+            residuals = self._apply_residual_weights(list(residuals))
         return field_cat(residuals)
+
+    def _apply_residual_weights(self, residuals):
+        """Scale each equation's residual Field by sqrt(w_k), so quadratic
+        losses see `sum_k w_k mean(r_k^2)`.
+
+        Weights apply to the training loss and to adaptive-sampling scores
+        (so point selection matches what training optimizes); `get_residuals`
+        always returns raw equation residuals.
+        """
+        rw = self.residual_weights
+        if len(rw) != len(residuals):
+            raise ValueError(
+                f"residual_weights has {len(rw)} entries but the system "
+                f"produced {len(residuals)} residuals")
+        return [r * jnp.sqrt(w) for r, w in zip(residuals, rw)]
 
     def _loss_and_metrics(self, params, cols):
         """The traced loss: enforce, residuals, loss + additional loss, metrics."""
@@ -370,7 +404,7 @@ class BaseSolver(ABC, PretrainedSolver):
 
     def _loss_and_metrics_inner(self, params, cols):
         funcs, coord_fields = self._forward(params, cols)
-        residual = self._residuals(funcs, coord_fields)
+        residual = self._residuals(funcs, coord_fields, weighted=True)
         loss = self.loss_fn(residual, funcs, coord_fields)
         loss = loss + self.additional_loss(residual, funcs, coord_fields)
         metrics = {
@@ -392,10 +426,10 @@ class BaseSolver(ABC, PretrainedSolver):
             from .fields import eval_mode
             with eval_mode(self.eval_mode):
                 funcs, coord_fields = self._forward(params, cols)
-                residual = self._residuals(funcs, coord_fields)
+                residual = self._residuals(funcs, coord_fields, weighted=True)
         else:
             funcs, coord_fields = self._forward(params, cols)
-            residual = self._residuals(funcs, coord_fields)
+            residual = self._residuals(funcs, coord_fields, weighted=True)
         r = residual.value
         return jax.lax.stop_gradient(jnp.sqrt(jnp.sum(r * r, axis=1)))
 
@@ -981,6 +1015,7 @@ class Solver1D(BaseSolver):
                  nets=None, train_generator=None, valid_generator=None, analytic_solutions=None,
                  optimizer=None, loss_fn=None, n_batches_train=1, n_batches_valid=4,
                  metrics=None, n_output_units=1, key=None, mesh=None, eval_mode=None,
+                 residual_weights=None,
                  batch_size=None, shuffle=None):
         if train_generator is None or valid_generator is None:
             if t_min is None or t_max is None:
@@ -1000,7 +1035,8 @@ class Solver1D(BaseSolver):
             analytic_solutions=analytic_solutions, optimizer=optimizer, loss_fn=loss_fn,
             n_batches_train=n_batches_train, n_batches_valid=n_batches_valid,
             metrics=metrics, n_input_units=1, n_output_units=n_output_units,
-            key=key, mesh=mesh, eval_mode=eval_mode, shuffle=shuffle, batch_size=batch_size,
+            key=key, mesh=mesh, eval_mode=eval_mode, residual_weights=residual_weights,
+            shuffle=shuffle, batch_size=batch_size,
         )
 
     def get_solution(self, copy=True, best=True):
@@ -1036,6 +1072,7 @@ class Solver2D(BaseSolver):
                  nets=None, train_generator=None, valid_generator=None, analytic_solutions=None,
                  optimizer=None, loss_fn=None, n_batches_train=1, n_batches_valid=4,
                  metrics=None, n_output_units=1, key=None, mesh=None, eval_mode=None,
+                 residual_weights=None,
                  batch_size=None, shuffle=None):
         if train_generator is None or valid_generator is None:
             if xy_min is None or xy_max is None:
@@ -1055,7 +1092,8 @@ class Solver2D(BaseSolver):
             analytic_solutions=analytic_solutions, optimizer=optimizer, loss_fn=loss_fn,
             n_batches_train=n_batches_train, n_batches_valid=n_batches_valid,
             metrics=metrics, n_input_units=2, n_output_units=n_output_units,
-            key=key, mesh=mesh, eval_mode=eval_mode, shuffle=shuffle, batch_size=batch_size,
+            key=key, mesh=mesh, eval_mode=eval_mode, residual_weights=residual_weights,
+            shuffle=shuffle, batch_size=batch_size,
         )
 
     def get_solution(self, copy=True, best=True):
@@ -1119,6 +1157,7 @@ class SolverSpherical(BaseSolver):
                  nets=None, train_generator=None, valid_generator=None, analytic_solutions=None,
                  optimizer=None, loss_fn=None, n_batches_train=1, n_batches_valid=4,
                  metrics=None, enforcer=None, n_output_units=1, key=None, mesh=None, eval_mode=None,
+                 residual_weights=None,
                  shuffle=None, batch_size=None):
         if train_generator is None or valid_generator is None:
             if r_min is None or r_max is None:
@@ -1140,7 +1179,8 @@ class SolverSpherical(BaseSolver):
             analytic_solutions=analytic_solutions, optimizer=optimizer, loss_fn=loss_fn,
             n_batches_train=n_batches_train, n_batches_valid=n_batches_valid,
             metrics=metrics, n_input_units=3, n_output_units=n_output_units,
-            key=key, mesh=mesh, eval_mode=eval_mode, shuffle=shuffle, batch_size=batch_size,
+            key=key, mesh=mesh, eval_mode=eval_mode, residual_weights=residual_weights,
+            shuffle=shuffle, batch_size=batch_size,
         )
 
     def _auto_enforce(self, net, params, cond, *coordinates):
@@ -1204,6 +1244,7 @@ class BundleSolver1D(BaseSolver):
                  nets=None, train_generator=None, valid_generator=None, analytic_solutions=None,
                  optimizer=None, loss_fn=None, n_batches_train=1, n_batches_valid=4,
                  metrics=None, n_output_units=1, key=None, mesh=None, eval_mode=None,
+                 residual_weights=None,
                  batch_size=None, shuffle=None):
         if train_generator is None or valid_generator is None:
             if t_min is None or t_max is None:
@@ -1258,7 +1299,8 @@ class BundleSolver1D(BaseSolver):
             analytic_solutions=analytic_solutions, optimizer=optimizer, loss_fn=loss_fn,
             n_batches_train=n_batches_train, n_batches_valid=n_batches_valid,
             metrics=metrics, n_input_units=n_input_units, n_output_units=n_output_units,
-            key=key, mesh=mesh, eval_mode=eval_mode, shuffle=shuffle, batch_size=batch_size,
+            key=key, mesh=mesh, eval_mode=eval_mode, residual_weights=residual_weights,
+            shuffle=shuffle, batch_size=batch_size,
         )
 
     def get_solution(self, copy=True, best=True):
