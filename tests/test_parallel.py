@@ -186,3 +186,49 @@ def test_tensor_parallel_full_train_step():
     )
     solver.fit(max_epochs=3, tqdm_file=None)
     assert np.isfinite(solver.metrics_history['train_loss'][-1])
+
+
+def test_sharded_solver_with_adaptive_generator():
+    """Adaptive selection (oversample + gather) must compose with the points
+    mesh: the scorer's forward runs sharded, the selected batch re-shards."""
+    from neurodiffeq_tpu.generators import ResidualAdaptiveGenerator
+    from neurodiffeq_tpu.utils import set_seed
+    set_seed(0)
+    mesh = make_mesh()
+    n = 8 * 8
+    solver = Solver1D(
+        ode_system=lambda u, t: [diff(u, t) + u], conditions=[IVP(0, 1)],
+        t_min=0.0, t_max=2.0, mesh=mesh,
+        train_generator=ResidualAdaptiveGenerator(
+            Generator1D(n, 0.0, 2.0, method='uniform'), oversample=4),
+        valid_generator=Generator1D(n, 0.0, 2.0, method='equally-spaced'),
+        n_batches_valid=0,
+    )
+    solver.fit(max_epochs=150, tqdm_file=None)
+    hist = solver.metrics_history['train_loss']
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0]
+
+
+def test_sharded_residual_weights_match_unsharded():
+    """Static residual weights are pure column scaling — sharded and
+    unsharded losses must agree to fp tolerance at identical params/points."""
+    from neurodiffeq_tpu.utils import set_seed
+
+    def build(mesh):
+        set_seed(7)
+        return Solver1D(
+            ode_system=lambda u, t: [diff(u, t) + u, 3.0 * (diff(u, t) + u)],
+            conditions=[IVP(0, 1)], t_min=0.0, t_max=1.0, mesh=mesh,
+            residual_weights=[0.25, 1.0],
+            train_generator=Generator1D(8 * 8, 0.0, 1.0, method='equally-spaced'),
+            valid_generator=Generator1D(8 * 8, 0.0, 1.0, method='equally-spaced'),
+            n_batches_valid=0,
+        )
+
+    cols = [np.linspace(0.0, 1.0, 8 * 8).reshape(-1, 1)]
+    s_plain = build(None)
+    s_mesh = build(make_mesh())
+    l_plain, _ = s_plain._loss_and_metrics(s_plain.params, cols)
+    l_mesh, _ = s_mesh._loss_and_metrics(s_mesh.params, cols)
+    assert np.isclose(float(l_plain), float(l_mesh), rtol=1e-10, atol=1e-12)
