@@ -195,8 +195,9 @@ class PretrainedSolver:
         """Extra constructor arguments captured per solver type."""
         kwargs = {}
         for name in ('t_min', 't_max', 'xy_min', 'xy_max', 'r_min', 'r_max',
-                     'n_input_units', 'eq_param_index'):
-            if hasattr(self, name):
+                     'n_input_units', 'eq_param_index', 'residual_weights',
+                     'eval_mode'):
+            if hasattr(self, name) and getattr(self, name) is not None:
                 kwargs[name] = getattr(self, name)
         return kwargs
 

@@ -206,3 +206,34 @@ def test_hub_upload_requires_api_key(monkeypatch):
     monkeypatch.delenv('NEURODIFF_API_KEY', raising=False)
     with pytest.raises(RuntimeError):
         solver.save(name='x', save_to_hub=True)
+
+
+def test_save_load_preserves_residual_weights_and_adaptive_generator(tmp_path):
+    """Round-2 ctor args must survive the save/load round trip — silently
+    dropping residual_weights would change the training objective on resume."""
+    from neurodiffeq_tpu.generators import Generator1D, ResidualAdaptiveGenerator
+
+    solver = Solver1D(
+        ode_system=lambda u, t: [diff(u, t) + u, 2.0 * (diff(u, t) + u)],
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+        residual_weights=[0.25, 1.0],
+        train_generator=ResidualAdaptiveGenerator(
+            Generator1D(16, 0.0, 2.0, method='uniform'), oversample=2),
+        valid_generator=Generator1D(16, 0.0, 2.0, method='equally-spaced'),
+    )
+    solver.fit(max_epochs=20, tqdm_file=None)
+    path = str(tmp_path / 'solver.ndq')
+    solver.save(path=path)
+
+    loaded = Solver1D.load(path=path)
+    assert loaded.residual_weights == [0.25, 1.0]
+    assert loaded.generator['train'].adaptive
+    assert loaded.generator['train'].generator.oversample == 2
+    # identical params + weights -> identical loss on identical points
+    cols = [np.linspace(0.0, 2.0, 16).reshape(-1, 1)]
+    l0, _ = solver._loss_and_metrics(solver.params, cols)
+    l1, _ = loaded._loss_and_metrics(loaded.params, cols)
+    assert np.isclose(float(l0), float(l1), rtol=1e-12)
+    loaded.fit(max_epochs=5, tqdm_file=None)
+    assert loaded.global_epoch == 25
