@@ -263,10 +263,38 @@ def bench_bundle_hypersolver(epochs=1500):
                 hypersolver_max_err=round(float(hyper_err), 5))
 
 
+def bench_cavity_streamfunction(epochs=20000, Re=100.0):
+    """The cavity again in streamfunction-vorticity form (round 2,
+    examples/cavity_streamfunction.py): exact continuity, C1 trial BCs, no
+    pressure gauge — measured 3x more accurate than the primitive deep
+    config in a quarter of the steps (benchmarks/RESULTS.md)."""
+    import importlib.util
+    import os
+    import sys
+    examples_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
+    if examples_dir not in sys.path:  # the example imports its Ghia tables
+        sys.path.insert(0, examples_dir)
+    spec = importlib.util.spec_from_file_location(
+        "._csf", os.path.join(examples_dir, "cavity_streamfunction.py"))
+    csf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(csf)
+
+    solver = csf.build(Re=Re, anneal_steps=epochs)
+    eps, pps = _timed_fit(solver, epochs, 16384)
+    u_err, v_err = csf.ghia_errors(solver)
+    return dict(name='cavity_streamfunction_re100', epochs_per_sec=round(eps, 1),
+                points_per_sec=round(pps, 1),
+                ghia_centerline_max_err_u=round(u_err, 4),
+                ghia_centerline_max_err_v=round(v_err, 4),
+                final_train_loss=round(float(solver.metrics_history['train_loss'][-1]), 6))
+
+
 ALL_BENCHMARKS = [
     bench_lotka_volterra,
     bench_laplace2d,
     bench_spherical_poisson,
     bench_lid_driven_cavity,
+    bench_cavity_streamfunction,
     bench_bundle_hypersolver,
 ]
