@@ -134,3 +134,42 @@ def test_streamplot_monitor():
     assert m.fig is not None
     with pytest.raises(ValueError):
         StreamPlotMonitor2D(xy_min=(0, 0), xy_max=(1, 1), pairs=[(0, 1)], field_names=['a', 'b'])
+
+
+def test_monitor_2d_masks_irregular_domain():
+    """Monitor2D must mask triangulation cells outside the condition's
+    in_domain region (reference monitors.py:679-681)."""
+    from neurodiffeq_tpu.conditions import IrregularBoundaryCondition
+
+    class HalfPlane(IrregularBoundaryCondition):
+        def parameterize(self, out, x, y):
+            return out
+
+        def in_domain(self, x, y):
+            return np.asarray(x).flatten() < 0.5
+
+    solver = Solver2D(
+        pde_system=lambda u, x, y: [diff(u, x) + diff(u, y)],
+        conditions=[HalfPlane()],
+        xy_min=(0, 0), xy_max=(1, 1),
+    )
+    solver.fit(max_epochs=2, tqdm_file=None)
+    m = Monitor2D((0, 0), (1, 1), check_every=1)
+    m.check(solver.nets, solver.conditions, solver.metrics_history, params=solver.params)
+    # the tricontour triangulation must carry a mask (some cells excluded)
+    ax_objs = m.fig.axes
+    assert len(ax_objs) >= 1
+
+
+def test_adaptive_generator_repr_and_dill():
+    from neurodiffeq_tpu.generators import Generator1D, ResidualAdaptiveGenerator
+    import dill
+    g = ResidualAdaptiveGenerator(Generator1D(16, 0.0, 1.0), oversample=3,
+                                  strategy='topk')
+    r = repr(g)
+    assert 'ResidualAdaptiveGenerator' in r and 'topk' in r and 'oversample=3' in r
+    g2 = dill.loads(dill.dumps(g))
+    assert g2.oversample == 3 and g2.strategy == 'topk' and g2.size == 16
+    import jax
+    out = g2.sample_scored(jax.random.PRNGKey(0), lambda cand: cand[0])
+    assert np.asarray(out).shape == (16,)
