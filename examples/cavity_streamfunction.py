@@ -11,12 +11,14 @@ streamfunction psi and vorticity w with ONE shared FCNN(2 -> ... -> 2):
 
 and build ALL velocity boundary conditions into the trial function:
 
-    psi = y^2 (y-1) u_lid(x) + [x(1-x) y(1-y)]^2 * ANN_psi
+    psi = y^2 (y-1) e^{-k(1-y)} u_lid(x) + [x(1-x) y(1-y)]^2 * ANN_psi
 
 The squared bump factor zeroes both psi and grad(psi) from the network term
 on the boundary, so no-slip on the three walls and the lid profile are exact
-by construction; the particular term y^2(y-1) u_lid(x) supplies
-psi_y(x, 1) = u_lid(x) with a C^1-compatible regularized lid
+by construction; the particular term supplies psi_y(x, 1) = u_lid(x), with
+the e^{-k(1-y)} factor (k=20) localizing it to a band under the lid — the
+essential detail: the global k=0 variant stalls training (see PsiCavity's
+docstring and benchmarks/RESULTS.md). The lid is a C^1 regularized profile
 u_lid(x) = (1 - e^{-(Ax)^2})(1 - e^{-(A(x-1))^2}) (zero value AND slope at
 the corners, boundary-layer width 1/A like the notebook's profile). There is
 no pressure field, hence no gauge to pin.

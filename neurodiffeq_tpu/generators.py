@@ -139,6 +139,30 @@ def _as_tuple(out):
     return (out,)
 
 
+def contains_buried_adaptive(gen):
+    """True if a ResidualAdaptiveGenerator sits INSIDE a combinator (where
+    its adaptive selection cannot run — only the outermost generator's
+    ``adaptive`` flag is honored by the solvers). Used to warn loudly
+    instead of silently training without adaptivity."""
+    stack, seen = [gen], set()
+    top = True
+    while stack:
+        g = stack.pop()
+        if id(g) in seen:
+            continue
+        seen.add(id(g))
+        if getattr(g, 'adaptive', False) and not top:
+            return True
+        top = False
+        sub = getattr(g, 'generator', None)
+        if isinstance(sub, BaseGenerator):
+            stack.append(sub)
+        for s in getattr(g, 'generators', ()) or ():
+            if isinstance(s, BaseGenerator):
+                stack.append(s)
+    return False
+
+
 class Generator1D(BaseGenerator):
     """An example generator for generating 1-D training points.
 

@@ -5,7 +5,8 @@ Capability parity with the reference's
 :math:`R = (u_{i+1} - u_i - h f(u_i, t_i)) / h^{p+1}` are precomputed from a
 known solution, the corrector net is trained with MSE on R (a single jitted
 train step scanned over epochs), and inference is a ``lax.scan`` rollout with
-the :math:`h^2`-scaled correction.
+the :math:`h^{p+1}`-scaled correction (:math:`h^2` for Euler, :math:`h^3`
+for Heun; p = the base integrator's order).
 """
 import numpy as np
 import jax

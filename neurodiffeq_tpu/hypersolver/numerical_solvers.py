@@ -81,10 +81,25 @@ class Heun(NumericalSolver):
     order = 2
 
     def step(self, func, u, t, h):
-        k1 = _as_seq(func(*u, t))
+        k1 = _normalize_rhs(func(*u, t), len(u))
         u_pred = [ui + h * k for ui, k in zip(u, k1)]
-        k2 = _as_seq(func(*u_pred, t + h))
+        k2 = _normalize_rhs(func(*u_pred, t + h), len(u))
         return [0.5 * (a + b) for a, b in zip(k1, k2)]
+
+
+def _normalize_rhs(out, n_eq):
+    """Normalize a user RHS return to one entry per equation.
+
+    Unlike ``_as_seq``, a bare array from a single-equation func (e.g.
+    ``lambda u, t: -u`` over an (N,)-batched grid) stays ONE equation — it
+    must not be split into N per-point entries, which would silently
+    misalign the zip over equations in multi-stage steps.
+    """
+    if isinstance(out, (list, tuple)):
+        return list(out)
+    if n_eq == 1:
+        return [out]
+    return _as_seq(out)
 
 
 def _as_seq(x):

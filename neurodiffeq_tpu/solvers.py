@@ -253,6 +253,14 @@ class BaseSolver(ABC, PretrainedSolver):
         def make_pair_dict(train=None, valid=None):
             return {'train': train, 'valid': valid}
 
+        from .generators import contains_buried_adaptive
+        if contains_buried_adaptive(train_generator):
+            warnings.warn(
+                "A ResidualAdaptiveGenerator is nested inside a combinator "
+                "(e.g. Concat/Ensemble/Mesh/Transform); only the OUTERMOST "
+                "train generator's adaptive selection is honored, so this "
+                "solver will train WITHOUT adaptive sampling. Wrap the whole "
+                "combined generator instead: ResidualAdaptiveGenerator(g1 + g2).")
         self.generator = make_pair_dict(
             train=SamplerGenerator(train_generator),
             valid=SamplerGenerator(valid_generator),

@@ -196,3 +196,20 @@ def test_generic_solver_system_with_adaptive_generator():
     u, v = sol(ts)
     assert np.abs(np.asarray(u).reshape(-1) - np.sin(ts)).max() < 5e-2
     assert np.abs(np.asarray(v).reshape(-1) - np.cos(ts)).max() < 5e-2
+
+
+def test_buried_adaptive_generator_warns():
+    """An adaptive generator nested inside a combinator is silently inert
+    (only the outermost generator's selection runs); the solver must warn."""
+    base = Generator1D(16, 0.0, 1.0, method='uniform')
+    buried = ResidualAdaptiveGenerator(base, oversample=2) + Generator1D(16, 0.0, 1.0)
+    with pytest.warns(UserWarning, match='OUTERMOST'):
+        Solver1D(ode_system=lambda u, t: [diff(u, t) + u], conditions=[IVP(0, 1)],
+                 t_min=0.0, t_max=1.0, train_generator=buried)
+    # outermost adaptive: no warning
+    import warnings as w
+    with w.catch_warnings():
+        w.simplefilter('error', UserWarning)
+        Solver1D(ode_system=lambda u, t: [diff(u, t) + u], conditions=[IVP(0, 1)],
+                 t_min=0.0, t_max=1.0,
+                 train_generator=ResidualAdaptiveGenerator(base, oversample=2))

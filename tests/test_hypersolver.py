@@ -114,3 +114,19 @@ def test_hypersolver_heun_system():
     u1, u2 = hs.get_solution()(ts)
     assert np.allclose(np.asarray(u1), np.sin(ts), atol=2e-3)
     assert np.allclose(np.asarray(u2), np.cos(ts), atol=2e-3)
+
+
+def test_heun_hypersolver_accepts_bare_array_rhs():
+    """Regression: a single-equation func returning a bare array (not a
+    list) must produce the same residual targets as the list-returning
+    form — _as_seq used to split the (N,)-batched vectorized array into N
+    fake equations, silently corrupting the corrector's targets."""
+    from neurodiffeq_tpu.hypersolver import Heun
+    sol_fn = lambda ts: [np.exp(-np.asarray(ts))]  # noqa: E731
+    hs_bare = Hypersolver(func=lambda u, t: -u, u0=1.0, t0=0.0, tn=2.0,
+                          n_steps=10, sol=sol_fn, numerical_solver=Heun())
+    hs_list = Hypersolver(func=lambda u, t: [-u], u0=1.0, t0=0.0, tn=2.0,
+                          n_steps=10, sol=sol_fn, numerical_solver=Heun())
+    assert np.allclose(np.asarray(hs_bare.residual), np.asarray(hs_list.residual))
+    # magnitudes must be O(u'''/6), not O(grid index)
+    assert np.abs(np.asarray(hs_bare.residual)).max() < 1.0
