@@ -20,7 +20,7 @@ import warnings
 import numpy as np
 import jax.numpy as jnp
 
-from .fields import Field, diff, exp, tanh, cat, pin
+from .fields import Field, exp, tanh, cat, pin
 from .fields import abs as fabs
 from ._version_utils import deprecated_alias
 

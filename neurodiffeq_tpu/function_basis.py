@@ -18,9 +18,8 @@ import numpy as np
 import jax.numpy as jnp
 from scipy.special import legendre
 
-from .fields import Field, cat, lift, diff
+from .fields import Field, cat, diff
 from .fields import sin as fsin, cos as fcos
-from ._version_utils import deprecated_alias
 
 __all__ = [
     'LegendrePolynomial', 'LegendreBasis', 'CustomBasis', 'ZonalSphericalHarmonics',

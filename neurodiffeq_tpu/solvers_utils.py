@@ -15,7 +15,6 @@ the reference (``NEURODIFF_API_URL``, ``NEURODIFF_API_KEY``;
 import os
 import ast
 import inspect
-import warnings
 
 import numpy as np
 import jax

@@ -9,7 +9,6 @@ fresh subkeys from here).
 """
 import os
 import random
-import functools
 
 import numpy as np
 import jax
