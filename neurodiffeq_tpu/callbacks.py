@@ -11,6 +11,7 @@ functional design: ``SetOptimizer`` takes an optax transformation (or factory),
 checkpointing dumps the numpy-ified parameter/optimizer pytrees with dill.
 """
 import os
+import math
 import random
 import logging
 import warnings
@@ -62,6 +63,23 @@ class BaseCallback(ABC, _LoggerMixin):
     @abstractmethod
     def __call__(self, solver):
         pass  # pragma: no cover
+
+    def next_fire_epoch(self, solver):
+        r"""Earliest *local* epoch (> ``solver.local_epoch``) at which this
+        callback may need to be invoked.
+
+        Used by ``BaseSolver.fit`` to fuse all epochs up to the next callback
+        boundary into one on-device scan (no per-epoch host round-trip).
+        Return values:
+
+        - an int/float epoch number: the callback is guaranteed NOT to need
+          invocation at any epoch strictly before it (a sound lower bound);
+        - ``math.inf``: never fires again within this ``fit`` call;
+        - ``None``: unknown — the callback must be invoked every epoch
+          (the default, and required for stateful conditions such as
+          ``RepeatedMetric*`` whose ``condition`` mutates internal counters).
+        """
+        return None
 
 
 class ActionCallback(BaseCallback):
@@ -403,6 +421,13 @@ class AndCallback(ConditionCallback):
                 return False
         return True
 
+    def next_fire_epoch(self, solver):
+        # can only fire once every sub-condition can; sound = the latest hint
+        hints = [c.next_fire_epoch(solver) for c in self.condition_callbacks]
+        if any(h is None for h in hints):
+            return None
+        return max(hints)
+
 
 class OrCallback(ConditionCallback):
     r"""False iff none of its sub-conditions is True. ``c1 | c2``."""
@@ -416,6 +441,13 @@ class OrCallback(ConditionCallback):
             if cond_cb.condition(solver):
                 return True
         return False
+
+    def next_fire_epoch(self, solver):
+        # may fire as soon as any sub-condition can
+        hints = [c.next_fire_epoch(solver) for c in self.condition_callbacks]
+        if any(h is None for h in hints):
+            return None
+        return min(hints)
 
 
 class NotCallback(ConditionCallback):
@@ -446,12 +478,18 @@ class TrueCallback(ConditionCallback):
     def condition(self, solver) -> bool:
         return True
 
+    def next_fire_epoch(self, solver):
+        return solver.local_epoch + 1
+
 
 class FalseCallback(ConditionCallback):
     r"""Always False."""
 
     def condition(self, solver) -> bool:
         return False
+
+    def next_fire_epoch(self, solver):
+        return math.inf
 
 
 class OnFirstLocal(ConditionCallback):
@@ -460,6 +498,9 @@ class OnFirstLocal(ConditionCallback):
     def condition(self, solver) -> bool:
         return solver.local_epoch == 1
 
+    def next_fire_epoch(self, solver):
+        return 1 if solver.local_epoch < 1 else math.inf
+
 
 class OnFirstGlobal(ConditionCallback):
     r"""True only on the first global epoch."""
@@ -467,12 +508,21 @@ class OnFirstGlobal(ConditionCallback):
     def condition(self, solver) -> bool:
         return solver.global_epoch == 1
 
+    def next_fire_epoch(self, solver):
+        # global = (global - local) + local grows in lockstep with local
+        e = 1 - (solver.global_epoch - solver.local_epoch)
+        return e if e > solver.local_epoch else math.inf
+
 
 class OnLastLocal(ConditionCallback):
     r"""True only on the last local epoch."""
 
     def condition(self, solver) -> bool:
         return solver.local_epoch == solver._max_local_epoch
+
+    def next_fire_epoch(self, solver):
+        last = solver._max_local_epoch
+        return last if last > solver.local_epoch else math.inf
 
 
 class PeriodLocal(ConditionCallback):
@@ -486,6 +536,10 @@ class PeriodLocal(ConditionCallback):
     def condition(self, solver) -> bool:
         return solver.local_epoch % self.period == self.offset
 
+    def next_fire_epoch(self, solver):
+        nxt = solver.local_epoch + 1
+        return nxt + (self.offset - nxt) % self.period
+
 
 class PeriodGlobal(ConditionCallback):
     r"""True when global epoch == period * n + offset."""
@@ -497,6 +551,11 @@ class PeriodGlobal(ConditionCallback):
 
     def condition(self, solver) -> bool:
         return solver.global_epoch % self.period == self.offset
+
+    def next_fire_epoch(self, solver):
+        nxt_g = solver.global_epoch + 1
+        nxt_g += (self.offset - nxt_g) % self.period
+        return solver.local_epoch + (nxt_g - solver.global_epoch)
 
 
 class ClosedIntervalLocal(ConditionCallback):
@@ -510,6 +569,12 @@ class ClosedIntervalLocal(ConditionCallback):
     def condition(self, solver) -> bool:
         return self.min <= solver.local_epoch <= self.max
 
+    def next_fire_epoch(self, solver):
+        nxt = solver.local_epoch + 1
+        if nxt > self.max:
+            return math.inf
+        return max(nxt, math.ceil(self.min)) if np.isfinite(self.min) else nxt
+
 
 class ClosedIntervalGlobal(ConditionCallback):
     r"""True when min <= global epoch <= max."""
@@ -521,6 +586,14 @@ class ClosedIntervalGlobal(ConditionCallback):
 
     def condition(self, solver) -> bool:
         return self.min <= solver.global_epoch <= self.max
+
+    def next_fire_epoch(self, solver):
+        nxt_g = solver.global_epoch + 1
+        if nxt_g > self.max:
+            return math.inf
+        if np.isfinite(self.min):
+            nxt_g = max(nxt_g, math.ceil(self.min))
+        return solver.local_epoch + (nxt_g - solver.global_epoch)
 
 
 class Random(ConditionCallback):

@@ -866,6 +866,8 @@ class ResidualAdaptiveGenerator(BaseGenerator):
             raise ValueError(f"unknown strategy {strategy!r}; expected 'power' or 'topk'")
         if int(oversample) < 1:
             raise ValueError(f'oversample must be >= 1, got {oversample}')
+        if c < 0:
+            raise ValueError(f'c must be >= 0, got {c}')
         self.generator = generator
         self.size = generator.size
         self.oversample = int(oversample)
@@ -891,7 +893,9 @@ class ResidualAdaptiveGenerator(BaseGenerator):
             _, idx = jax.lax.top_k(scores, self.size)
         else:
             w = jnp.power(scores, self.alpha)
-            p = w / (jnp.mean(w) + jnp.finfo(w.dtype).tiny) + self.c
+            # floor keeps log(p) finite when c == 0 and all residuals vanish
+            p = jnp.maximum(w / (jnp.mean(w) + jnp.finfo(w.dtype).tiny) + self.c,
+                            jnp.finfo(w.dtype).tiny)
             idx = jax.random.categorical(keys[0], jnp.log(p), shape=(self.size,))
         out = tuple(c[idx] for c in cand)
         return out if len(out) > 1 else out[0]

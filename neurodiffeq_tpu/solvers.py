@@ -23,6 +23,7 @@ re-designed TPU-first:
   TPU-native equivalent of scaling its batch axis.
 """
 import sys
+import math
 import inspect
 import warnings
 from abc import ABC, abstractmethod
@@ -281,6 +282,7 @@ class BaseSolver(ABC, PretrainedSolver):
         self._max_local_epoch = 0
         self._stop_training = False
         self._phase = None
+        self._fit_chunk_sizes = []
 
         # compiled-function cache; invalidated when loss_fn/optimizer change
         self._compiled = {}
@@ -690,9 +692,12 @@ class BaseSolver(ABC, PretrainedSolver):
             profile_dir=None, **kwargs):
         r"""Run multiple epochs of training and validation, update best model.
 
-        When no callbacks are given and all generators are jittable, epochs are
-        scanned on device in chunks (no per-epoch host sync). With callbacks,
-        the per-epoch path runs and each callback receives the solver.
+        When all generators are jittable, epochs are scanned on device in
+        chunks (no per-epoch host sync). Callbacks bound the chunks: each
+        callback is asked for its ``next_fire_epoch`` hint, epochs up to the
+        earliest hint are fused into one on-device scan, and callbacks are
+        invoked at the boundary. Callbacks without a hint (arbitrary callables,
+        stateful conditions like ``RepeatedMetric*``) force the per-epoch path.
 
         :param max_epochs: Number of epochs to run.
         :param callbacks: callables accepting the solver instance as only argument.
@@ -711,6 +716,9 @@ class BaseSolver(ABC, PretrainedSolver):
 
         self._stop_training = False
         self._max_local_epoch = max_epochs
+        self.local_epoch = 0
+        # chunk sizes dispatched this fit() call (diagnostics/tests)
+        self._fit_chunk_sizes = []
 
         monitor = kwargs.pop('monitor', None)
         if monitor:
@@ -720,31 +728,56 @@ class BaseSolver(ABC, PretrainedSolver):
         if kwargs:
             raise ValueError(f'Unknown keyword argument(s): {list(kwargs.keys())}')
 
-        fast = (
-            not callbacks
-            and self.generator['train'].jittable
+        jittable = (
+            self.generator['train'].jittable
             and (self.n_batches['valid'] == 0 or self.generator['valid'].jittable)
         )
-        if fast:
-            return self._fit_fast(max_epochs, tqdm_file=tqdm_file)
 
-        if tqdm_file is None or tqdm is None:
-            loop = range(max_epochs)
-        else:
-            loop = tqdm(range(max_epochs), desc='Training Progress', colour='blue',
+        pbar = None
+        if tqdm is not None and tqdm_file is not None:
+            pbar = tqdm(total=max_epochs, desc='Training Progress', colour='blue',
                         file=tqdm_file, dynamic_ncols=True)
+        try:
+            while self.local_epoch < max_epochs:
+                if self._stop_training:
+                    break
+                n = 1
+                if jittable:
+                    boundary = min(self._next_callback_fire(callbacks), max_epochs)
+                    n = min(max(1, boundary - self.local_epoch), _FIT_CHUNK)
+                if n > 1 or (jittable and not callbacks):
+                    self._run_chunk_on_device(n)
+                    self.local_epoch += n
+                else:
+                    self.local_epoch += 1
+                    self.run_train_epoch()
+                    self.run_valid_epoch()
+                for cb in callbacks:
+                    cb(self)
+                if pbar is not None:
+                    pbar.update(n)
+        finally:
+            if pbar is not None:
+                pbar.close()
 
-        for local_epoch in loop:
-            if self._stop_training:
-                break
-            self.local_epoch = local_epoch + 1
-            self.run_train_epoch()
-            self.run_valid_epoch()
-            for cb in callbacks:
-                cb(self)
+    def _next_callback_fire(self, callbacks):
+        """Earliest local epoch any callback may fire at (``inf`` if none do).
 
-    def _fit_fast(self, max_epochs, tqdm_file=sys.stderr):
-        """Chunked on-device epoch loop (no callbacks)."""
+        Plain callables and callbacks returning ``None`` pin the next fire to
+        the very next epoch (= per-epoch invocation, the reference semantics,
+        ``solvers.py:496-497``)."""
+        nxt = math.inf
+        for cb in callbacks:
+            fn = getattr(cb, 'next_fire_epoch', None)
+            hint = fn(self) if fn is not None else None
+            if hint is None:
+                return self.local_epoch + 1
+            nxt = min(nxt, hint)
+        return nxt
+
+    def _run_chunk_on_device(self, n):
+        """Run ``n`` epochs fused into one on-device scan; update params,
+        optimizer state, best tracking, and the metrics history."""
         dtype = get_default_dtype()
         if self.best_params is None:
             best_params = self.params
@@ -753,38 +786,21 @@ class BaseSolver(ABC, PretrainedSolver):
             best_params = self.best_params
             lowest = jnp.asarray(self.lowest_loss, dtype=dtype)
 
-        params, opt_state = self.params, self.opt_state
-
-        remaining = max_epochs
-        pbar = None
-        if tqdm is not None and tqdm_file is not None:
-            pbar = tqdm(total=max_epochs, desc='Training Progress', colour='blue',
-                        file=tqdm_file, dynamic_ncols=True)
-        epochs_done = 0
-        while remaining > 0:
-            n = min(remaining, _FIT_CHUNK)
-            chunk_fn = self._get_compiled(f'fit_chunk_{n}', lambda n=n: self._build_fit_chunk(n))
-            (params, opt_state, best_params, lowest), outs = chunk_fn(
-                params, opt_state, best_params, lowest, next_rng_key())
-            train_losses, valid_losses, train_metrics, valid_metrics = outs
-            self.metrics_history['train_loss'].extend(np.asarray(train_losses).tolist())
+        chunk_fn = self._get_compiled(f'fit_chunk_{n}', lambda n=n: self._build_fit_chunk(n))
+        (params, opt_state, best_params, lowest), outs = chunk_fn(
+            self.params, self.opt_state, best_params, lowest, next_rng_key())
+        train_losses, valid_losses, train_metrics, valid_metrics = outs
+        self.metrics_history['train_loss'].extend(np.asarray(train_losses).tolist())
+        if self.n_batches['valid'] > 0:
+            self.metrics_history['valid_loss'].extend(np.asarray(valid_losses).tolist())
+        for name in self.metrics_fn:
+            self.metrics_history['train__' + name].extend(np.asarray(train_metrics[name]).tolist())
             if self.n_batches['valid'] > 0:
-                self.metrics_history['valid_loss'].extend(np.asarray(valid_losses).tolist())
-            for name in self.metrics_fn:
-                self.metrics_history['train__' + name].extend(np.asarray(train_metrics[name]).tolist())
-                if self.n_batches['valid'] > 0:
-                    self.metrics_history['valid__' + name].extend(np.asarray(valid_metrics[name]).tolist())
-            remaining -= n
-            epochs_done += n
-            self.local_epoch = epochs_done
-            if pbar is not None:
-                pbar.update(n)
-        if pbar is not None:
-            pbar.close()
-
+                self.metrics_history['valid__' + name].extend(np.asarray(valid_metrics[name]).tolist())
         self.params, self.opt_state = params, opt_state
         self.best_params = best_params
         self.lowest_loss = float(lowest)
+        self._fit_chunk_sizes.append(n)
 
     # ------------------------------------------------------------- inspection
 
@@ -841,7 +857,14 @@ class BaseSolver(ABC, PretrainedSolver):
     def additional_loss(self, residual, funcs, coords):
         r"""Additional loss terms; override in subclasses. Receives the
         residual Field, the list of function Fields, and coordinate Fields.
-        Must return a scalar."""
+        Must return a scalar.
+
+        .. note::
+            When ``residual_weights`` is set, the ``residual`` argument is the
+            *weight-scaled* residual (each equation's column multiplied by
+            ``sqrt(w_k)``) — the same Field the main loss sees. Use
+            :meth:`get_residuals` for raw equation residuals.
+        """
         return 0.0
 
     def get_residuals(self, *coords, to_numpy=False, best=True, no_reshape=False):

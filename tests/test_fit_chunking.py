@@ -1,0 +1,215 @@
+"""fit() chunking through callback boundaries.
+
+The per-epoch host path is only required when a callback may actually fire;
+predictable condition callbacks (PeriodLocal/Global, OnFirst/OnLast,
+ClosedInterval and their & | compositions) expose ``next_fire_epoch`` hints so
+``fit`` fuses all epochs up to the next boundary into one on-device scan.
+These tests pin both the hint math and the end-to-end firing semantics
+(which must match the reference's per-epoch callback cadence,
+reference callbacks.py:508-825, solvers.py:496-497).
+"""
+import math
+
+import pytest
+
+from neurodiffeq_tpu import callbacks as cb
+from neurodiffeq_tpu.solvers import Solver1D
+from neurodiffeq_tpu.conditions import IVP
+from neurodiffeq_tpu.fields import diff
+
+
+def make_solver(**kwargs):
+    return Solver1D(
+        ode_system=lambda u, t: [diff(u, t) + u],
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+        **kwargs,
+    )
+
+
+class _Recorder(cb.ActionCallback):
+    """Records the local epoch at every invocation."""
+
+    def __init__(self):
+        super().__init__()
+        self.fired_at = []
+
+    def __call__(self, solver):
+        self.fired_at.append(solver.local_epoch)
+
+
+class _FakeSolver:
+    def __init__(self, local_epoch=0, global_epoch=0, max_local=100):
+        self.local_epoch = local_epoch
+        self.global_epoch = global_epoch
+        self._max_local_epoch = max_local
+
+
+# ------------------------------------------------------------- hint unit tests
+
+def test_hint_true_false():
+    s = _FakeSolver(local_epoch=3, global_epoch=3)
+    assert cb.TrueCallback().next_fire_epoch(s) == 4
+    assert cb.FalseCallback().next_fire_epoch(s) == math.inf
+
+
+def test_hint_on_first():
+    s = _FakeSolver(local_epoch=0, global_epoch=0)
+    assert cb.OnFirstLocal().next_fire_epoch(s) == 1
+    assert cb.OnFirstGlobal().next_fire_epoch(s) == 1
+    s = _FakeSolver(local_epoch=2, global_epoch=2)
+    assert cb.OnFirstLocal().next_fire_epoch(s) == math.inf
+    assert cb.OnFirstGlobal().next_fire_epoch(s) == math.inf
+    # resumed fit: 5 global epochs already done before this fit call
+    s = _FakeSolver(local_epoch=0, global_epoch=5)
+    assert cb.OnFirstLocal().next_fire_epoch(s) == 1
+    assert cb.OnFirstGlobal().next_fire_epoch(s) == math.inf
+
+
+def test_hint_on_last():
+    s = _FakeSolver(local_epoch=3, max_local=10)
+    assert cb.OnLastLocal().next_fire_epoch(s) == 10
+    s = _FakeSolver(local_epoch=10, max_local=10)
+    assert cb.OnLastLocal().next_fire_epoch(s) == math.inf
+
+
+def test_hint_period_local():
+    s = _FakeSolver(local_epoch=0)
+    assert cb.PeriodLocal(period=5).next_fire_epoch(s) == 5
+    s.local_epoch = 5
+    assert cb.PeriodLocal(period=5).next_fire_epoch(s) == 10
+    s.local_epoch = 6
+    assert cb.PeriodLocal(period=5, offset=2).next_fire_epoch(s) == 7
+    s.local_epoch = 7
+    assert cb.PeriodLocal(period=5, offset=2).next_fire_epoch(s) == 12
+
+
+def test_hint_period_global():
+    # solver resumed at global epoch 13, local epoch 3
+    s = _FakeSolver(local_epoch=3, global_epoch=13)
+    # next global multiple of 5 is 15 -> local 5
+    assert cb.PeriodGlobal(period=5).next_fire_epoch(s) == 5
+
+
+def test_hint_closed_interval():
+    s = _FakeSolver(local_epoch=0)
+    assert cb.ClosedIntervalLocal(min=4, max=6).next_fire_epoch(s) == 4
+    s.local_epoch = 4
+    assert cb.ClosedIntervalLocal(min=4, max=6).next_fire_epoch(s) == 5
+    s.local_epoch = 6
+    assert cb.ClosedIntervalLocal(min=4, max=6).next_fire_epoch(s) == math.inf
+    assert cb.ClosedIntervalLocal().next_fire_epoch(s) == 7
+    s = _FakeSolver(local_epoch=0, global_epoch=10)
+    assert cb.ClosedIntervalGlobal(min=14, max=20).next_fire_epoch(s) == 4
+    assert cb.ClosedIntervalGlobal(max=5).next_fire_epoch(s) == math.inf
+
+
+def test_hint_and_or():
+    s = _FakeSolver(local_epoch=0)
+    p3, p5 = cb.PeriodLocal(period=3), cb.PeriodLocal(period=5)
+    assert (p3 | p5).next_fire_epoch(s) == 3
+    assert (p3 & p5).next_fire_epoch(s) == 5  # sound lower bound (actual fire: 15)
+    # unknown children poison the composition
+    rnd = cb.Random(0.5)
+    assert (p3 | rnd).next_fire_epoch(s) is None
+    assert (p3 & rnd).next_fire_epoch(s) is None
+
+
+def test_hint_unknown_by_default():
+    s = _FakeSolver()
+    assert cb.Random(0.5).next_fire_epoch(s) is None
+    assert cb.RepeatedMetricDown(0.0).next_fire_epoch(s) is None
+    assert (~cb.PeriodLocal(period=5)).next_fire_epoch(s) is None
+    assert cb.StopCallback().next_fire_epoch(s) is None
+
+
+# ---------------------------------------------------------- end-to-end firing
+
+def test_chunked_fit_periodic_firing():
+    solver = make_solver()
+    rec = _Recorder()
+    solver.fit(12, callbacks=[rec.conditioned_on(cb.PeriodLocal(period=5))],
+               tqdm_file=None)
+    assert rec.fired_at == [5, 10]
+    # the chunked path actually engaged: 3 dispatches, not 12
+    assert solver._fit_chunk_sizes == [5, 5, 2]
+    assert len(solver.metrics_history['train_loss']) == 12
+    assert len(solver.metrics_history['valid_loss']) == 12
+    assert solver.local_epoch == 12
+    assert solver.best_params is not None
+    assert solver.lowest_loss == min(solver.metrics_history['valid_loss'])
+
+
+def test_chunked_fit_monitor_style_composition():
+    solver = make_solver()
+    rec = _Recorder()
+    composed = (cb.OnLastLocal() | cb.PeriodLocal(period=4)).set_action_callback(rec)
+    solver.fit(10, callbacks=[composed], tqdm_file=None)
+    assert rec.fired_at == [4, 8, 10]
+    assert solver._fit_chunk_sizes == [4, 4, 2]
+
+
+def test_chunked_matches_per_epoch_firing():
+    """Firing epochs must be identical to the forced per-epoch path."""
+    fired = {}
+    for forced in (False, True):
+        solver = make_solver()
+        rec = _Recorder()
+        callbacks = [rec.conditioned_on(cb.PeriodLocal(period=3, offset=1))]
+        if forced:
+            # an arbitrary plain callable disables chunking
+            callbacks.append(lambda s: None)
+        solver.fit(11, callbacks=callbacks, tqdm_file=None)
+        fired[forced] = rec.fired_at
+        if forced:
+            assert solver._fit_chunk_sizes == []
+        else:
+            assert len(solver._fit_chunk_sizes) > 1
+    assert fired[True] == fired[False] == [1, 4, 7, 10]
+
+
+def test_stateful_condition_forces_per_epoch():
+    solver = make_solver()
+    rec = _Recorder()
+    solver.fit(5, callbacks=[rec.conditioned_on(cb.RepeatedMetricDown(at_least_by=1e30))],
+               tqdm_file=None)
+    assert solver._fit_chunk_sizes == []
+    assert rec.fired_at == []
+    assert len(solver.metrics_history['train_loss']) == 5
+
+
+def test_chunked_stop_callback():
+    solver = make_solver()
+    stop = cb.StopCallback().conditioned_on(cb.PeriodLocal(period=4))
+    solver.fit(100, callbacks=[stop], tqdm_file=None)
+    # stops right after epoch 4 fires — identical to per-epoch semantics
+    assert len(solver.metrics_history['train_loss']) == 4
+    assert solver._fit_chunk_sizes == [4]
+
+
+def test_chunked_set_loss_fn_midway():
+    """Callbacks that invalidate compiled fns recompile cleanly mid-run."""
+    solver = make_solver()
+    swap = cb.SetLossFn('l1').conditioned_on(cb.PeriodLocal(period=3))
+    solver.fit(6, callbacks=[swap], tqdm_file=None)
+    assert solver._fit_chunk_sizes == [3, 3]
+    assert len(solver.metrics_history['train_loss']) == 6
+    # loss function actually swapped
+    from neurodiffeq_tpu.losses import _losses
+    assert solver.loss_fn is _losses['l1']
+
+
+def test_no_callbacks_still_chunks():
+    solver = make_solver()
+    solver.fit(7, tqdm_file=None)
+    assert solver._fit_chunk_sizes == [7]
+    assert len(solver.metrics_history['train_loss']) == 7
+
+
+def test_second_fit_resets_local_epoch():
+    solver = make_solver()
+    rec = _Recorder()
+    solver.fit(4, tqdm_file=None)
+    solver.fit(4, callbacks=[rec.conditioned_on(cb.OnFirstLocal())], tqdm_file=None)
+    assert rec.fired_at == [1]
+    assert solver.global_epoch == 8
