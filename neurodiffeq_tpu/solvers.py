@@ -218,6 +218,21 @@ class BaseSolver(ABC, PretrainedSolver):
             from .parallel import shard_params
             self.params = shard_params(self.params, self.mesh)
 
+        # Flat-parameter hot path: inside compiled epochs the parameter list is
+        # carried as ONE ravelled vector, so the optimizer update, gradient
+        # accumulation, and best-params tracking each compile to a handful of
+        # ops instead of O(n_leaves) tiny per-leaf launches (measured 5-14x on
+        # launch-bound small-model configs, benchmarks/RESULTS.md round 3).
+        # Disabled under tensor parallelism, where per-leaf shardings must
+        # survive the optimizer.
+        self._use_flat = not (self.mesh is not None and 'model' in self.mesh.axis_names)
+        if self._use_flat:
+            from jax.flatten_util import ravel_pytree
+            _flat0, self._unravel = ravel_pytree(self.params)
+            self._ravel = lambda p: ravel_pytree(p)[0]
+        else:
+            self._unravel = self._ravel = lambda p: p
+
         self.metrics_fn = metrics if metrics else {}
         if analytic_solutions:
             warnings.warn(
@@ -248,7 +263,9 @@ class BaseSolver(ABC, PretrainedSolver):
 
         self.optimizer = optimizer if optimizer is not None else optax.adam(1e-3)
         self._closure_style = _requires_closure(self.optimizer)
-        self.opt_state = self.optimizer.init(self.params)
+        # canonical optimizer state matches the compiled representation: the
+        # ravelled parameter vector on the flat path, the param list under TP
+        self.opt_state = self.optimizer.init(self._ravel(self.params))
         self._set_loss_fn(loss_fn)
 
         def make_pair_dict(train=None, valid=None):
@@ -309,7 +326,7 @@ class BaseSolver(ABC, PretrainedSolver):
         self.optimizer = optimizer
         self._closure_style = _requires_closure(optimizer)
         if reset_state or self.opt_state is None:
-            self.opt_state = self.optimizer.init(self.params)
+            self.opt_state = self.optimizer.init(self._ravel(self.params))
         self._invalidate_compiled()
 
     def _invalidate_compiled(self):
@@ -462,110 +479,129 @@ class BaseSolver(ABC, PretrainedSolver):
             self._compiled[name] = fn
         return fn
 
-    def _build_train_epoch(self):
+    def _build_train_epoch_raw(self):
+        """One training epoch on the *compiled* parameter representation (a
+        single ravelled vector on the flat path; the param list under TP).
+
+        Non-closure optimizers: the ``n_batches_train`` gradient passes are
+        ``vmap``-ped (one wide XLA program, not a sequential scan of tiny ops)
+        and SUMMED — torch ``.backward()`` accumulation semantics (reference
+        ``solvers.py:360-419``), then one optimizer step. Closure-style
+        optimizers update per batch, which is inherently sequential -> scan.
+        """
         n_batches = self.n_batches['train']
         sample = self._train_sample_fn()
         optimizer = self.optimizer
+        unravel = self._unravel
+
+        def loss_p(p, cols):
+            return self._loss_and_metrics(unravel(p), cols)
 
         if self._closure_style:
-            def epoch(params, opt_state, key):
+            def epoch(p, opt_state, key):
                 keys = jax.random.split(key, n_batches)
 
                 def body(carry, k):
-                    params, opt_state = carry
-                    cols = sample(k, params)
+                    p, opt_state = carry
+                    cols = sample(k, unravel(p))
                     (loss, metrics), grads = jax.value_and_grad(
-                        self._loss_and_metrics, has_aux=True)(params, cols)
-                    value_fn = lambda p: self._loss_and_metrics(p, cols)[0]
+                        loss_p, has_aux=True)(p, cols)
+                    value_fn = lambda q: loss_p(q, cols)[0]
                     updates, opt_state = optimizer.update(
-                        grads, opt_state, params, value=loss, grad=grads, value_fn=value_fn)
-                    params = optax.apply_updates(params, updates)
-                    return (params, opt_state), (loss, metrics)
+                        grads, opt_state, p, value=loss, grad=grads, value_fn=value_fn)
+                    p = optax.apply_updates(p, updates)
+                    return (p, opt_state), (loss, metrics)
 
-                (params, opt_state), (losses, metrics) = jax.lax.scan(body, (params, opt_state), keys)
+                (p, opt_state), (losses, metrics) = jax.lax.scan(body, (p, opt_state), keys)
                 mean_metrics = {k: v.mean() for k, v in metrics.items()}
-                return params, opt_state, losses.mean(), mean_metrics
+                return p, opt_state, losses.mean(), mean_metrics
         else:
-            def epoch(params, opt_state, key):
+            def epoch(p, opt_state, key):
                 keys = jax.random.split(key, n_batches)
 
-                def body(carry, k):
-                    grads_acc, loss_acc, m_acc = carry
-                    cols = sample(k, params)
-                    (loss, metrics), grads = jax.value_and_grad(
-                        self._loss_and_metrics, has_aux=True)(params, cols)
-                    return (_tree_add(grads_acc, grads), loss_acc + loss,
-                            _tree_add(m_acc, metrics)), None
+                def one(k):
+                    cols = sample(k, unravel(p))
+                    return jax.value_and_grad(loss_p, has_aux=True)(p, cols)
 
-                zero_m = {name: jnp.zeros(()) for name in self.metrics_fn}
-                init = (_tree_zeros_like(params), jnp.zeros(()), zero_m)
-                (grads, loss_sum, m_sum), _ = jax.lax.scan(body, init, keys)
-                # grads are SUMMED over batches (torch .backward() accumulation
-                # semantics, reference solvers.py:360-419), then one step
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                mean_metrics = {k: v / n_batches for k, v in m_sum.items()}
-                return params, opt_state, loss_sum / n_batches, mean_metrics
+                (losses, metrics), grads = jax.vmap(one)(keys)
+                grads = jax.tree.map(lambda g: g.sum(axis=0), grads)
+                updates, opt_state = optimizer.update(grads, opt_state, p)
+                p = optax.apply_updates(p, updates)
+                mean_metrics = {k: v.mean() for k, v in metrics.items()}
+                return p, opt_state, losses.mean(), mean_metrics
+
+        return epoch
+
+    def _build_valid_epoch_raw(self):
+        gen = self.generator['valid']
+        n_batches = self.n_batches['valid']
+        sample = gen.sample
+        unravel = self._unravel
+
+        def epoch(p, key):
+            keys = jax.random.split(key, n_batches)
+
+            def one(k):
+                return self._loss_and_metrics(unravel(p), sample(k))
+
+            losses, metrics = jax.vmap(one)(keys)
+            return losses.mean(), {k: v.mean() for k, v in metrics.items()}
+
+        return epoch
+
+    def _build_train_epoch(self):
+        """Jitted single-epoch entry point on the public param-list layout."""
+        raw = self._get_compiled('train_epoch_raw', self._build_train_epoch_raw)
+        ravel, unravel = self._ravel, self._unravel
+
+        def epoch(params, opt_state, key):
+            p, opt_state, loss, metrics = raw(ravel(params), opt_state, key)
+            return unravel(p), opt_state, loss, metrics
 
         return jax.jit(epoch)
 
     def _build_valid_epoch(self):
-        gen = self.generator['valid']
-        n_batches = self.n_batches['valid']
-        sample = gen.sample
+        raw = self._get_compiled('valid_epoch_raw', self._build_valid_epoch_raw)
+        ravel = self._ravel
 
         def epoch(params, key):
-            keys = jax.random.split(key, n_batches)
-
-            def body(carry, k):
-                loss_acc, m_acc = carry
-                cols = sample(k)
-                loss, metrics = self._loss_and_metrics(params, cols)
-                return (loss_acc + loss, _tree_add(m_acc, metrics)), None
-
-            zero_m = {name: jnp.zeros(()) for name in self.metrics_fn}
-            (loss_sum, m_sum), _ = jax.lax.scan(body, (jnp.zeros(()), zero_m), keys)
-            return loss_sum / n_batches, {k: v / n_batches for k, v in m_sum.items()}
+            return raw(ravel(params), key)
 
         return jax.jit(epoch)
 
     def _build_fit_chunk(self, n_epochs):
-        """Fuse n_epochs of train+valid(+best-tracking) into one scanned, jitted call."""
+        """Fuse n_epochs of train+valid(+best-tracking) into one scanned,
+        jitted call. The epoch carry stays in the compiled (flat) parameter
+        representation for the whole chunk; best tracking is then a single
+        ``where`` instead of one per param leaf."""
         train_epoch = self._get_compiled('train_epoch_raw', self._build_train_epoch_raw)
         valid_epoch = self._get_compiled('valid_epoch_raw', self._build_valid_epoch_raw)
         has_valid = self.n_batches['valid'] > 0
+        ravel, unravel = self._ravel, self._unravel
 
         def chunk(params, opt_state, best_params, lowest_loss, key):
             def body(carry, k):
-                params, opt_state, best_params, lowest_loss = carry
+                p, opt_state, best_p, lowest_loss = carry
                 kt, kv = jax.random.split(k)
-                params, opt_state, train_loss, train_metrics = train_epoch(params, opt_state, kt)
+                p, opt_state, train_loss, train_metrics = train_epoch(p, opt_state, kt)
                 if has_valid:
-                    valid_loss, valid_metrics = valid_epoch(params, kv)
+                    valid_loss, valid_metrics = valid_epoch(p, kv)
                     watched = valid_loss
                 else:
                     valid_loss, valid_metrics = jnp.nan, {n: jnp.nan for n in self.metrics_fn}
                     watched = train_loss
                 better = watched < lowest_loss
-                best_params = _tree_select(better, params, best_params)
+                best_p = _tree_select(better, p, best_p)
                 lowest_loss = jnp.where(better, watched, lowest_loss)
                 out = (train_loss, valid_loss, train_metrics, valid_metrics)
-                return (params, opt_state, best_params, lowest_loss), out
+                return (p, opt_state, best_p, lowest_loss), out
 
             keys = jax.random.split(key, n_epochs)
-            carry, outs = jax.lax.scan(body, (params, opt_state, best_params, lowest_loss), keys)
-            return carry, outs
+            carry = (ravel(params), opt_state, ravel(best_params), lowest_loss)
+            (p, opt_state, best_p, lowest_loss), outs = jax.lax.scan(body, carry, keys)
+            return (unravel(p), opt_state, unravel(best_p), lowest_loss), outs
 
         return jax.jit(chunk)
-
-    # raw (unjitted) builders so the chunk can inline them into one program
-    def _build_train_epoch_raw(self):
-        fn = self._build_train_epoch()
-        return fn.__wrapped__ if hasattr(fn, '__wrapped__') else fn
-
-    def _build_valid_epoch_raw(self):
-        fn = self._build_valid_epoch()
-        return fn.__wrapped__ if hasattr(fn, '__wrapped__') else fn
 
     # ------------------------------------------------------------- host epochs
 
@@ -602,11 +638,12 @@ class BaseSolver(ABC, PretrainedSolver):
                 (loss, metrics), grads = jax.value_and_grad(
                     self._loss_and_metrics, has_aux=True)(self.params, cols)
                 if self._closure_style:
-                    value_fn = lambda p: self._loss_and_metrics(p, cols)[0]
+                    pf, gf = self._ravel(self.params), self._ravel(grads)
+                    value_fn = lambda q: self._loss_and_metrics(self._unravel(q), cols)[0]
                     updates, self.opt_state = self.optimizer.update(
-                        grads, self.opt_state, self.params, value=loss, grad=grads,
+                        gf, self.opt_state, pf, value=loss, grad=gf,
                         value_fn=value_fn)
-                    self.params = optax.apply_updates(self.params, updates)
+                    self.params = self._unravel(optax.apply_updates(pf, updates))
                 else:
                     grads_acc = grads if grads_acc is None else _tree_add(grads_acc, grads)
             else:
@@ -616,8 +653,9 @@ class BaseSolver(ABC, PretrainedSolver):
                 metric_values[name] += float(metrics[name])
 
         if phase == 'train' and not self._closure_style:
-            updates, self.opt_state = self.optimizer.update(grads_acc, self.opt_state, self.params)
-            self.params = optax.apply_updates(self.params, updates)
+            pf, gf = self._ravel(self.params), self._ravel(grads_acc)
+            updates, self.opt_state = self.optimizer.update(gf, self.opt_state, pf)
+            self.params = self._unravel(optax.apply_updates(pf, updates))
 
         self._update_history(epoch_loss / n_batches, 'loss', phase)
         for name in self.metrics_fn:

@@ -306,9 +306,18 @@ class PretrainedSolver:
             solver.best_params = _to_jax_tree(save_dict["best_params"])
         if config.optimizer is None and save_dict.get("opt_state") is not None:
             try:
-                solver.opt_state = _to_jax_tree(save_dict["opt_state"])
+                restored = _to_jax_tree(save_dict["opt_state"])
+                # structure must match the solver's canonical (flat) layout —
+                # e.g. a checkpoint written before the optimizer ran on the
+                # ravelled parameter vector re-initializes instead
+                if (jax.tree.structure(restored)
+                        == jax.tree.structure(solver.opt_state)):
+                    solver.opt_state = restored
+                else:
+                    solver.opt_state = solver.optimizer.init(
+                        solver._ravel(solver.params))
             except Exception:  # pragma: no cover - optimizer replaced, reinit
-                solver.opt_state = solver.optimizer.init(solver.params)
+                solver.opt_state = solver.optimizer.init(solver._ravel(solver.params))
         solver.metrics_history = {k: list(v) for k, v in save_dict["metrics_history"].items()}
         solver.lowest_loss = save_dict.get("lowest_loss")
         return solver
