@@ -60,10 +60,13 @@ def main():
     assert len(devices) >= N_DEVICES, f"need {N_DEVICES} virtual devices, got {len(devices)}"
 
     rows = []
-    for k in (1, 2, 4, 8):
+    # 1-D points (DP) meshes at 1/2/4/8 devices, plus a 2-D DP x TP
+    # (4 points x 2 model) Megatron mesh at 8 devices
+    for k, model_axis in ((1, None), (2, None), (4, None), (8, None), (8, 2)):
         set_seed(0)
-        mesh = make_mesh(devices=devices[:k])
-        n_points = POINTS_PER_DEVICE * k
+        mesh = make_mesh(devices=devices[:k], model_axis_size=model_axis)
+        n_dp = mesh.shape['points']
+        n_points = POINTS_PER_DEVICE * n_dp
         grid = (32, n_points // 32)
         solver = _flagship_solver(mesh=mesh, grid=grid, hidden=(HIDDEN,),
                                   n_batches_valid=0)
@@ -85,16 +88,17 @@ def main():
         _ = float(np.asarray(last[-1]))  # sync
         dt = time.perf_counter() - t0
         pps = EPOCHS * n_points / dt
-        rows.append(dict(devices=k, points_per_batch=n_points,
+        mesh_desc = (f"{n_dp}dp x {model_axis}tp" if model_axis else f"{k}dp")
+        rows.append(dict(devices=k, mesh=mesh_desc, points_per_batch=n_points,
                          points_per_sec=round(pps),
                          points_per_sec_per_device=round(pps / k),
                          final_loss=float(np.asarray(last[-1]))))
         print(json.dumps(rows[-1]))
 
-    print("\n| devices | pts/batch | pts/s | pts/s/device |")
-    print("|---|---|---|---|")
+    print("\n| devices | mesh | pts/batch | pts/s | pts/s/device |")
+    print("|---|---|---|---|---|")
     for r in rows:
-        print(f"| {r['devices']} | {r['points_per_batch']} | "
+        print(f"| {r['devices']} | {r['mesh']} | {r['points_per_batch']} | "
               f"{r['points_per_sec']:,} | {r['points_per_sec_per_device']:,} |")
 
 

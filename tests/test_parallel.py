@@ -188,6 +188,41 @@ def test_tensor_parallel_full_train_step():
     assert np.isfinite(solver.metrics_history['train_loss'][-1])
 
 
+def test_tensor_parallel_grad_accumulation_matches_unsharded():
+    """TP composed with gradient accumulation (n_batches_train=2): one full
+    epoch (2 summed gradient passes + 1 Adam step) from identical inits and
+    PRNG keys must land on per-leaf identical params sharded vs unsharded."""
+    mesh = make_mesh(model_axis_size=2)
+    n_dp = mesh.shape['points']
+
+    def build(m):
+        return Solver1D(
+            ode_system=lambda u, t: [diff(u, t, 2) + diff(u, t) + u],
+            conditions=[IVP(t_0=0.0, u_0=1.0)],
+            t_min=0.0, t_max=2.0,
+            train_generator=Generator1D(8 * n_dp, 0, 2, method='equally-spaced-noisy'),
+            valid_generator=Generator1D(8 * n_dp, 0, 2, method='equally-spaced'),
+            n_batches_train=2,
+            key=jax.random.PRNGKey(7),
+            mesh=m,
+        )
+
+    s_plain = build(None)
+    s_mesh = build(mesh)
+    key = jax.random.PRNGKey(123)
+
+    def one_epoch(solver):
+        fn = solver._get_compiled('train_epoch', solver._build_train_epoch)
+        params, _, loss, _ = fn(solver.params, solver.opt_state, key)
+        return params, loss
+
+    p_plain, l_plain = one_epoch(s_plain)
+    p_mesh, l_mesh = one_epoch(s_mesh)
+    assert np.isclose(float(l_plain), float(l_mesh), rtol=1e-10)
+    for lp, lm in zip(jax.tree.leaves(p_plain), jax.tree.leaves(p_mesh)):
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(lm), rtol=1e-9, atol=1e-12)
+
+
 def test_sharded_solver_with_adaptive_generator():
     """Adaptive selection (oversample + gather) must compose with the points
     mesh: the scorer's forward runs sharded, the selected batch re-shards."""
