@@ -68,7 +68,8 @@ def _ann_field(net, params, coordinates, ith_unit=None):
                 d1 = tuple(ctx.directions[d, sub][None, :] for d in range(ctx.n_dirs))
                 zeros = tuple(jnp.zeros_like(x) for x in d1)
             derivs = ([d1] + [zeros] * (ctx.order - 1))[:ctx.order]
-            meta = 'raw_coords' if sub == list(range(ctx.points.shape[1])) else None
+            meta = ('raw_coords' if (ctx.is_axes and sub == list(range(ctx.points.shape[1])))
+                    else None)
             out = net.taylor_apply(params, TSeries(c0, derivs, meta=meta), ctx)
             if ith_unit is not None:
                 out = slice_series(out, ith_unit)

@@ -179,7 +179,7 @@ def coords_from_points(points):
 
 
 class Field:
-    """An ``(N, m)`` array-like quantity that remembers how it depends on the coordinates.
+    r"""An ``(N, m)`` array-like quantity that remembers how it depends on the coordinates.
 
     ``fn(xs, *aux) -> ()`` or ``(m,)`` is the per-sample function; ``aux`` are
     per-sample constant arrays (each ``(N, k)``) vmapped alongside the points —
@@ -192,17 +192,19 @@ class Field:
     - ``trule(ctx) -> TSeries``: batched Taylor propagation rule;
     - ``_combine = (kind, op, specs, operands)``: how to rebuild the value from
       batched operand values (elementwise/cat/slice/sum);
-    - ``_dinfo = (parent, dir_index, order)``: this field is the order-th
-      derivative of ``parent`` along a coordinate — its value reads off the
-      parent's Taylor series;
+    - ``_dinfo = (parent, alpha)``: this field is the mixed partial
+      :math:`\partial^\alpha` of ``parent`` (``alpha``: tuple of
+      ``(axis, order)`` pairs) — its value reads off the parent's Taylor
+      series, with genuinely mixed indices recovered by polarization
+      (:func:`neurodiffeq_tpu.ops.taylor.partial_entry`);
     - ``torder``: the series order this field's value needs.
     """
 
     __slots__ = ('fn', 'coords', 'aux', 'index', '_value',
-                 'trule', 'torder', '_combine', '_dinfo', '_shape', 'tvalid')
+                 'trule', 'torder', '_combine', '_dinfo', '_shape')
 
     def __init__(self, fn, coords, aux=(), index=None, value=None,
-                 trule=None, torder=0, combine=None, dinfo=None, tvalid=None):
+                 trule=None, torder=0, combine=None, dinfo=None):
         self.fn = fn
         self.coords = coords
         self.aux = tuple(aux)
@@ -213,13 +215,6 @@ class Field:
         self._combine = combine
         self._dinfo = dinfo
         self._shape = None
-        # Static per-direction validity of this field's Taylor series:
-        # None = derivative entries valid along EVERY coordinate direction;
-        # a frozenset = valid only along those directions (derivative fields
-        # carry only pure partials along their own direction — entries along
-        # other directions would be mixed partials and are zero-filled).
-        # diff/grad consult this before reading series entries.
-        self.tvalid = tvalid
 
     # ------------------------------------------------------------------ value
     @property
@@ -242,12 +237,11 @@ class Field:
     def _value_with_ctx(self, ctx):
         def compute():
             if self._dinfo is not None:
-                parent, dir_index, order = self._dinfo
-                from .ops.taylor import teval
-                series = teval(parent, ctx, order=order)
-                d = series.derivs[order - 1][dir_index]
+                parent, alpha = self._dinfo
+                from .ops.taylor import partial_entry
+                d = partial_entry(parent, alpha, ctx)
                 # series coefficients may be broadcast-shaped; readers get (N, m)
-                return jnp.broadcast_to(d, (self.coords.n_samples, series.c0.shape[1]))
+                return jnp.broadcast_to(d, (self.coords.n_samples, d.shape[-1]))
             if self.trule is not None:
                 from .ops.taylor import teval
                 # value-only read: order 0 (a deeper cached series serves it free)
@@ -276,6 +270,8 @@ class Field:
                 if kind == 'sum':
                     return vals[0].sum(axis=1, keepdims=True)
                 raise RuntimeError(f"unknown combine kind {kind}")  # pragma: no cover
+            global _TAYLOR_FALLBACKS
+            _TAYLOR_FALLBACKS += 1
             return self._vmap_value()
 
         return ctx.memo(self, 'v', compute)
@@ -406,8 +402,7 @@ class Field:
                 return slice_series(teval(_parent, ctx), _col)
 
         return Field(fn, self.coords, self.aux, trule=trule, torder=self.torder,
-                     combine=('slice', col, [('field', None)], [self]),
-                     tvalid=self.tvalid)
+                     combine=('slice', col, [('field', None)], [self]))
 
     def reshape(self, *shape):
         """Only identity/(N,1) reshapes are meaningful for fields; returns self
@@ -438,8 +433,7 @@ class Field:
                     return sum_series(teval(_parent, ctx), keepdims)
 
             return Field(fn, self.coords, self.aux, trule=trule, torder=self.torder,
-                         combine=('sum', None, [('field', None)], [self]),
-                         tvalid=self.tvalid)
+                         combine=('sum', None, [('field', None)], [self]))
         return self.value.sum(axis=axis)
 
     def max(self, axis=None):
@@ -455,14 +449,22 @@ class Field:
         return f"Field(shape={self.shape})"
 
 
-def _tvalid_intersection(fields_):
-    """AND of per-direction series validity across operand Fields (None = all)."""
-    out = None
-    for f in fields_:
-        tv = f.tvalid
-        if tv is not None:
-            out = tv if out is None else (out & tv)
-    return out
+# Count of Fields whose batched Taylor evaluation fell back to the per-sample
+# vmap path (no trule / no combine plan). Zero across a jitted residual means
+# the whole loss ran on the batched engine; tests assert this for the operator
+# suite. NOTE: incremented at TRACE time — read it after building/tracing, and
+# reset first.
+_TAYLOR_FALLBACKS = 0
+
+
+def taylor_fallback_count():
+    """Number of per-sample fallback evaluations since the last reset."""
+    return _TAYLOR_FALLBACKS
+
+
+def reset_taylor_fallback_count():
+    global _TAYLOR_FALLBACKS
+    _TAYLOR_FALLBACKS = 0
 
 
 def _raw(x):
@@ -613,8 +615,7 @@ def _lift_call(op, *args, _composite=False, **op_kwargs):
             return lifted_series(_op, arg_descs, ctx)
 
     return Field(fn, cs, tuple(aux_all), trule=trule, torder=torder,
-                 combine=('elementwise', op, combine_specs, operand_fields),
-                 tvalid=_tvalid_intersection(operand_fields))
+                 combine=('elementwise', op, combine_specs, operand_fields))
 
 
 def lift(op):
@@ -703,7 +704,8 @@ def network_field(apply_fn, coords, ith_unit=None, module=None, params=None):
                 d1 = tuple(ctx.directions[d, sub][None, :] for d in range(ctx.n_dirs))
                 zeros = tuple(jnp.zeros_like(x) for x in d1)
             derivs = ([d1] + [zeros] * (ctx.order - 1))[:ctx.order]
-            meta = 'raw_coords' if sub == list(range(ctx.points.shape[1])) else None
+            meta = ('raw_coords' if (ctx.is_axes and sub == list(range(ctx.points.shape[1])))
+                    else None)
             in_series = TSeries(c0, derivs, meta=meta)
             out = module.taylor_apply(params, in_series, ctx)
             if ith_unit is not None:
@@ -825,8 +827,7 @@ def cat(fields, dim=1):
             return concat_series(series, ctx.order, ctx.n_dirs)
 
     return Field(fn, cs, tuple(aux_all), trule=trule, torder=torder,
-                 combine=('cat', None, combine_specs, field_args),
-                 tvalid=_tvalid_intersection(field_args))
+                 combine=('cat', None, combine_specs, field_args))
 
 
 # ---------------------------------------------------------------------- diff
@@ -950,33 +951,33 @@ def diff(u, t, order=1, shape_check=True):
     dinfo = None
     torder = 0
     trule = None
-    tvalid = None
-    if u._dinfo is not None and u._dinfo[1] == t.index:
-        # derivative-of-derivative along the SAME direction: extend the order
-        # (cheaper than chaining through u's own derivative series)
-        parent, dir_index, parent_order = u._dinfo
-        total = parent_order + order
-        dinfo = (parent, dir_index, total)
-        torder = parent.torder + total
-        trule = _make_deriv_trule(parent, dir_index, total)
-        tvalid = frozenset((t.index,))
-    elif u.trule is not None and (u.tvalid is None or t.index in u.tvalid):
+    if u._dinfo is not None:
+        # derivative-of-derivative: fold the multi-index into the parent's
+        # (same-direction chains extend the order; cross-direction chains
+        # become genuinely mixed indices, recovered batched by polarization —
+        # ops.taylor.partial_entry)
+        from .ops.taylor import _merge_alpha
+        parent, palpha = u._dinfo
+        alpha = _merge_alpha(palpha, t.index, order)
+        dinfo = (parent, alpha)
+        torder = parent.torder + sum(o for _, o in alpha)
+        trule = _make_deriv_trule(parent, alpha)
+    elif u.trule is not None:
         # hot path: the value reads off u's shared Taylor series; the field
-        # also carries its OWN series rule (pure partials along t, read from
+        # also carries its OWN series rule (partials along t, read from
         # u's series evaluated `order` deeper) so expressions built from it —
         # e.g. the spherical pattern diff(r**2 * u_r, r) — stay batched.
-        dinfo = (u, t.index, order)
+        alpha = ((t.index, order),)
+        dinfo = (u, alpha)
         torder = u.torder + order
-        trule = _make_deriv_trule(u, t.index, order)
-        tvalid = frozenset((t.index,))
+        trule = _make_deriv_trule(u, alpha)
 
-    return Field(dfn, u.coords, u.aux, dinfo=dinfo, torder=torder,
-                 trule=trule, tvalid=tvalid)
+    return Field(dfn, u.coords, u.aux, dinfo=dinfo, torder=torder, trule=trule)
 
 
-def _make_deriv_trule(parent, dir_index, order):
+def _make_deriv_trule(parent, alpha):
     def trule(ctx):
         from .ops.taylor import derivative_series
-        return derivative_series(parent, dir_index, order, ctx)
+        return derivative_series(parent, alpha, ctx)
 
     return trule

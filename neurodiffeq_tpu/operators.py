@@ -50,8 +50,7 @@ def grad(u, *xs):
         if not isinstance(x, Field) or x.index is None:
             raise TypeError("grad expects coordinate Fields as independent variables")
 
-    if u.trule is not None and all(
-            u.tvalid is None or x.index in u.tvalid for x in xs):
+    if u.trule is not None:
         # hot path: every partial reads off u's shared batched Taylor series
         return [diff(u, x, shape_check=False) for x in xs]
 
@@ -96,8 +95,7 @@ def laplacian(u, *xs):
     r"""Laplacian of a scalar field: sum of second partials (grad-then-diff
     composition, matching ``operators.py:77-89``). When ``u`` has a Taylor
     rule, the second derivatives read off its shared series directly."""
-    if u.trule is not None and all(
-            u.tvalid is None or x.index in u.tvalid for x in xs):
+    if u.trule is not None:
         total = diff(u, xs[0], 2)
         for x in xs[1:]:
             total = total + diff(u, x, 2)

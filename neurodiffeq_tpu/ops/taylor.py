@@ -43,6 +43,8 @@ Rules:
 - The expression DAG is memoized per :class:`TContext`, so e.g. the network
   forward pass is computed ONCE for u, u_x, u_xx, u_y, u_yy.
 """
+import math
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -50,7 +52,7 @@ from jax.experimental.jet import jet
 
 __all__ = ['TSeries', 'TContext', 'teval', 'elementwise_series', 'constant_series',
            'affine_series', 'concat_series', 'slice_series', 'sum_series', 'add_series',
-           'derivative_series']
+           'derivative_series', 'partial_entry']
 
 
 class TSeries:
@@ -98,6 +100,15 @@ class TContext:
             self.stacked = False
         # (id, kind) -> (field, payload); the field reference keeps ids stable
         self.cache = {}
+        # Mixed-partial support: the MAIN context's probe directions are the
+        # coordinate axes (is_axes=True); auxiliary contexts carry synthetic
+        # direction combinations over a subset of axes, from which mixed
+        # partials are extracted by polarization (see partial_entry). All
+        # auxiliary contexts and extracted entries memoize on ``base.cache``.
+        self.base = self
+        self.is_axes = True
+        self.axes = None       # aux only: coordinate indices the dirs span
+        self.dirs_sub = None   # aux only: static (J, len(axes)) direction matrix
 
     def memo(self, field, kind, compute):
         key = (id(field), kind)
@@ -123,7 +134,40 @@ class TContext:
         view.n_dirs = self.n_dirs
         view.stacked = self.stacked
         view.cache = self.cache
+        view.base = self.base
+        view.is_axes = self.is_axes
+        view.axes = self.axes
+        view.dirs_sub = self.dirs_sub
         return view
+
+    def aux_for(self, axes, order):
+        """The auxiliary polarization context for mixed partials over ``axes``
+        at total ``order``: probe directions are the extraction-plan direction
+        combinations embedded into the full coordinate space. Memoized on the
+        base context, so every extraction over the same (axes, order) — e.g.
+        both u_xy and u_yx entries of a vector operator — shares one series
+        evaluation of each field."""
+        base = self.base
+        key = ('auxctx', axes, order)
+        hit = base.cache.get(key)
+        if hit is not None:
+            return hit[1]
+        dirs = _extraction_plan(len(axes), order)[2]
+        full = np.zeros((dirs.shape[0], base.points.shape[1]))
+        full[:, list(axes)] = dirs
+        ctx = object.__new__(TContext)
+        ctx.points = base.points
+        ctx.order = order
+        ctx.directions = jnp.asarray(full, dtype=base.points.dtype)
+        ctx.n_dirs = dirs.shape[0]
+        ctx.stacked = base.stacked
+        ctx.cache = {}
+        ctx.base = base
+        ctx.is_axes = False
+        ctx.axes = axes
+        ctx.dirs_sub = dirs
+        base.cache[key] = (None, ctx)
+        return ctx
 
 
 def teval(field, ctx, order=None):
@@ -145,36 +189,239 @@ def teval(field, ctx, order=None):
     return out
 
 
-def derivative_series(parent, dir_index, p, ctx):
-    r"""Series of the p-th derivative field :math:`\partial_{dir}^p u`.
+def _compositions(n, m):
+    """All m-tuples of nonnegative ints summing to n, in lexicographic order."""
+    if m == 1:
+        return [(n,)]
+    out = []
+    for first in range(n + 1):
+        for rest in _compositions(n - first, m - 1):
+            out.append((first,) + rest)
+    return out
 
-    The entries along ``dir`` are PURE partials read off the parent's series
-    evaluated ``p`` orders deeper (one shared network pass; the reason
-    spherical patterns like ``diff(r^2 * u_r, r)`` stay on the batched hot
-    path — reference ``operators.py:116-279`` builds them this way). Entries
-    along other directions would be MIXED partials the directional series
-    does not contain: they are filled with zeros and must never be read —
-    the owning Field's static ``tvalid`` set restricts valid directions to
-    ``{dir}``, and ``diff``/``grad`` check it before reading.
+
+def _multinomial(n, beta):
+    c = math.factorial(n)
+    for b in beta:
+        c //= math.factorial(b)
+    return c
+
+
+_EXTRACTION_PLANS = {}
+
+
+def _extraction_plan(m, n):
+    r"""Static polarization plan for the FULL-SUPPORT mixed partials of total
+    order ``n`` over ``m`` coordinate axes (every axis order >= 1).
+
+    The n-th directional derivative along :math:`v` expands as
+    :math:`D^n_v u = \sum_{|\beta|=n} \binom{n}{\beta} v^\beta \partial^\beta u`.
+    Partials whose support misses an axis are *cheaper* problems (pure ones
+    read straight off the axis-aligned series; smaller-support mixed ones
+    recurse) — so the plan solves only for the :math:`J = \binom{n-1}{m-1}`
+    full-support unknowns, subtracting the known terms from each directional
+    derivative first. The workhorse case u_xy needs exactly ONE synthetic
+    direction: :math:`u_{xy} = D^2_{(x+y)/\sqrt2}u - (u_{xx}+u_{yy})/2`.
+
+    Returns ``(betas_full, betas_partial, dirs, Minv, Mpartial)``:
+
+    - ``betas_full``: the J solved multi-indices (each a tuple of m orders);
+    - ``betas_partial``: multi-indices of order n with at least one zero axis
+      (their values are supplied by the caller, recursively);
+    - ``dirs``: (J, m) float64 directions — half-circle angles avoiding the
+      axes for m=2 (Vandermonde in tan, well-conditioned at PINN orders),
+      deterministic rank-checked unit vectors for m>=3;
+    - ``Minv``: (J, J) inverse of the full-support coefficient matrix;
+    - ``Mpartial``: (J, len(betas_partial)) coefficients of the known terms.
+    """
+    key = (m, n)
+    hit = _EXTRACTION_PLANS.get(key)
+    if hit is not None:
+        return hit
+    all_betas = _compositions(n, m)
+    betas_full = [b for b in all_betas if all(x >= 1 for x in b)]
+    betas_partial = [b for b in all_betas if not all(x >= 1 for x in b)]
+    J = len(betas_full)
+    if m == 1:
+        dirs = np.ones((1, 1))
+    elif m == 2:
+        thetas = np.pi * (np.arange(J) + 1.0) / (2 * (J + 1))
+        dirs = np.stack([np.cos(thetas), np.sin(thetas)], axis=1)
+    else:
+        for seed in range(64):
+            rng = np.random.RandomState(seed)
+            dirs = rng.normal(size=(J, m))
+            dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+            M = _plan_matrix(dirs, betas_full, n)
+            if np.linalg.cond(M) < 1e7:
+                break
+        else:  # pragma: no cover - 64 seeds never all ill-conditioned
+            raise RuntimeError(f"no well-conditioned direction set for m={m}, n={n}")
+    Minv = np.linalg.inv(_plan_matrix(dirs, betas_full, n))
+    Mpartial = _plan_matrix(dirs, betas_partial, n)
+    plan = (betas_full, betas_partial, dirs, Minv, Mpartial)
+    _EXTRACTION_PLANS[key] = plan
+    return plan
+
+
+def _plan_matrix(dirs, betas, n):
+    M = np.empty((len(dirs), len(betas)))
+    for j, v in enumerate(dirs):
+        for b, beta in enumerate(betas):
+            M[j, b] = _multinomial(n, beta) * np.prod(v ** np.asarray(beta))
+    return M
+
+
+def _merge_alpha(alpha, axis, order):
+    """Add ``order`` derivatives along ``axis`` to a multi-index (tuple of
+    (axis, order) pairs sorted by axis)."""
+    d = dict(alpha)
+    d[axis] = d.get(axis, 0) + order
+    return tuple(sorted(d.items()))
+
+
+def partial_entry(field, alpha, ctx):
+    r"""The (possibly mixed) partial :math:`\partial^\alpha` of a
+    Taylor-capable field, as a broadcast-shaped ``(N|1, m)`` array.
+
+    ``alpha`` is a tuple of ``(axis, order)`` pairs (orders >= 1). Derivative
+    fields fold into their parent first (:math:`\partial^\alpha \partial^p_a u
+    = \partial^{\alpha + p e_a} u`), so chains of ``diff`` always extract from
+    the innermost trule-bearing field. Pure partials read off the main
+    context's axis-aligned series; genuinely mixed ones are recovered from an
+    auxiliary polarization context (see :func:`_extraction_plan`). Everything
+    memoizes on the base context.
+    """
+    base = ctx.base
+    while getattr(field, '_dinfo', None) is not None:
+        parent, palpha = field._dinfo
+        for ax, o in palpha:
+            alpha = _merge_alpha(alpha, ax, o)
+        field = parent
+    key = ('pent', id(field), alpha)
+    hit = base.cache.get(key)
+    if hit is not None:
+        return hit[1]
+    if len(alpha) == 1:
+        axis, order = alpha[0]
+        hit = base.cache.get((id(field), 's'))
+        have = hit[1].order if hit is not None else 0
+        if have >= order or base.n_dirs <= 1:
+            # free (or as cheap as it gets): the main axis-aligned series
+            ps = teval(field, base, order=order)
+            out = ps.derivs[order - 1][axis]
+        else:
+            # deepening the main series would propagate order `order` tangents
+            # along ALL axes; a single-direction context costs 1/D of that
+            aux = ctx.aux_for((axis,), order)
+            ps = teval(field, aux, order=order)
+            out = ps.derivs[order - 1][0]
+    else:
+        axes = tuple(ax for ax, _ in alpha)
+        n_total = sum(o for _, o in alpha)
+        betas_full, betas_partial, _, Minv, Mpartial = _extraction_plan(
+            len(axes), n_total)
+        aux = ctx.aux_for(axes, n_total)
+        ps = teval(field, aux, order=n_total)
+        entries = ps.derivs[n_total - 1]
+        dtype = ps.c0.dtype
+        if isinstance(entries, tuple):
+            dvals = list(entries)
+        else:
+            dvals = [entries[j] for j in range(entries.shape[0])]
+        # known smaller-support terms (pure reads / recursive extractions)
+        partial_vals = []
+        for beta in betas_partial:
+            al = tuple((ax, b) for ax, b in zip(axes, beta) if b)
+            partial_vals.append(partial_entry(field, al, ctx))
+        row = Minv[betas_full.index(tuple(o for _, o in alpha))]
+        out = None
+        for j, w in enumerate(row):
+            rhs = dvals[j]
+            for c, pv in zip(Mpartial[j], partial_vals):
+                rhs = rhs - jnp.asarray(c, dtype) * pv
+            term = jnp.asarray(w, dtype) * rhs
+            out = term if out is None else out + term
+    base.cache[key] = (field, out)
+    return out
+
+
+def derivative_series(parent, alpha, ctx):
+    r"""Series of the derivative field :math:`\partial^\alpha u` (``alpha``: a
+    tuple of ``(axis, order)`` pairs).
+
+    For a pure single-axis derivative under an axis-aligned context, the
+    entries along its own axis are read off the parent's series evaluated
+    ``p`` orders deeper (one shared network pass; the reason spherical
+    patterns like ``diff(r^2 * u_r, r)`` stay on the batched hot path —
+    reference ``operators.py:116-279`` builds them this way). Every OTHER
+    entry is a genuinely mixed partial, recovered batched via
+    :func:`partial_entry`'s polarization contexts — so cross-direction
+    compositions (curl-of-curl, :math:`\partial^2/\partial r \partial\theta`
+    chains) stay off the per-sample fallback too.
     """
     K = ctx.order
-    ps = teval(parent, ctx, order=p + K)
     n = ctx.points.shape[0]
-    m = ps.c0.shape[1]
-    dtype = ps.c0.dtype
-    c0 = jnp.broadcast_to(ps.derivs[p - 1][dir_index], (n, m))
+
+    if len(alpha) == 1 and ctx.is_axes:
+        dir_index, p = alpha[0]
+        ps = teval(parent, ctx, order=p + K)
+        m = ps.c0.shape[1]
+        c0 = jnp.broadcast_to(ps.derivs[p - 1][dir_index], (n, m))
+        derivs = []
+        for k in range(1, K + 1):
+            same = ps.derivs[p + k - 1][dir_index]
+            row = [
+                same if d == dir_index
+                else partial_entry(parent, _merge_alpha(alpha, d, k), ctx)
+                for d in range(ctx.n_dirs)
+            ]
+            derivs.append(_pack_dirs(row, ctx))
+        return TSeries(c0, derivs)
+
+    c0 = partial_entry(parent, alpha, ctx)
+    m = c0.shape[1]
+    c0 = jnp.broadcast_to(c0, (n, m))
     derivs = []
+    if ctx.is_axes:
+        for k in range(1, K + 1):
+            row = [partial_entry(parent, _merge_alpha(alpha, d, k), ctx)
+                   for d in range(ctx.n_dirs)]
+            derivs.append(_pack_dirs(row, ctx))
+        return TSeries(c0, derivs)
+
+    # synthetic-direction context (this derivative field is an operand inside
+    # an expression being polarization-evaluated): expand each directional
+    # derivative over the context's axes —
+    #   D^k_v (∂^alpha u) = sum_{|beta|=k} (k!/beta!) v^beta ∂^{alpha+beta} u
+    axes = ctx.axes
+    dirs = ctx.dirs_sub
     for k in range(1, K + 1):
-        entry = ps.derivs[p + k - 1][dir_index]
-        if ctx.stacked:
-            stack = jnp.zeros((ctx.n_dirs,) + entry.shape, dtype)
-            derivs.append(stack.at[dir_index].set(entry))
-        else:
-            zero = jnp.zeros((1, 1), dtype)
-            derivs.append(tuple(
-                entry if d == dir_index else zero for d in range(ctx.n_dirs)
-            ))
+        row = []
+        for j in range(ctx.n_dirs):
+            entry = None
+            for beta in _compositions(k, len(axes)):
+                coeff = _multinomial(k, beta) * float(np.prod(dirs[j] ** np.asarray(beta)))
+                al = alpha
+                for ax, b in zip(axes, beta):
+                    if b:
+                        al = _merge_alpha(al, ax, b)
+                term = partial_entry(parent, al, ctx)
+                term = jnp.asarray(coeff, term.dtype) * term
+                entry = term if entry is None else entry + term
+            row.append(entry)
+        derivs.append(_pack_dirs(row, ctx))
     return TSeries(c0, derivs)
+
+
+def _pack_dirs(row, ctx):
+    """Assemble per-direction entries into the context's derivative layout,
+    broadcasting mixed (1, m)-shaped extractions up to a common row count."""
+    if not ctx.stacked:
+        return tuple(row)
+    rows = max(e.shape[0] for e in row)
+    m = max(e.shape[1] for e in row)
+    return jnp.stack([jnp.broadcast_to(e, (rows, m)) for e in row])
 
 
 def _dmap(f, *ds):

@@ -177,7 +177,7 @@ def test_power_at_zero_no_nan():
     assert np.isfinite(d).all()
 
 
-def test_mixed_partial_falls_back_correctly(net2):
+def test_mixed_partial_stays_batched(net2):
     net, params = net2
 
     def expr():
@@ -186,6 +186,123 @@ def test_mixed_partial_falls_back_correctly(net2):
         return diff(diff(u, x), y)
 
     both_modes(expr)
+
+    # structural: u_xy carries the merged multi-index and its own trule
+    x, y = _coords2()
+    u = _ann_field(net, params, (x, y))
+    u_xy = diff(diff(u, x), y)
+    assert u_xy._dinfo == (u, ((x.index, 1), (y.index, 1)))
+    assert u_xy.trule is not None
+
+
+def test_mixed_partials_deep_and_multi_axis(net2):
+    """Higher mixed indices (u_xxy, u_xxyy) and expression compositions of
+    mixed partials agree with the per-sample compose path."""
+    net, params = net2
+
+    def u_xxy():
+        x, y = _coords2()
+        u = _ann_field(net, params, (x, y))
+        return diff(diff(u, x, 2), y)
+
+    both_modes(u_xxy, atol=1e-6)
+
+    def u_xxyy():
+        x, y = _coords2()
+        u = _ann_field(net, params, (x, y))
+        return diff(diff(u, x, 2), y, 2)
+
+    both_modes(u_xxyy, atol=1e-5)
+
+    def mixed_expression():
+        # a mixed-partial field used INSIDE an expression that is then
+        # differentiated again (the curl-of-curl composition shape)
+        x, y = _coords2()
+        u = _ann_field(net, params, (x, y))
+        u_xy = diff(diff(u, x), y)
+        return diff(F.sin(x) * u_xy + y * u_xy, x)
+
+    both_modes(mixed_expression, atol=1e-6)
+
+
+def test_three_axis_mixed_partial():
+    net, params = net3()
+
+    def u_xyz():
+        x, y, z = _coords3()
+        u = _ann_field(net, params, (x, y, z))
+        return diff(diff(diff(u, x), y), z)
+
+    both_modes(u_xyz, atol=1e-6)
+
+
+def test_operator_suite_zero_fallbacks():
+    """Every vector-calculus operator — including curl-of-curl and the
+    spherical vector Laplacian, whose compositions produce genuinely mixed
+    partials — must evaluate with ZERO per-sample fallbacks (VERDICT round 2
+    item 3: the mixed-jet engine keeps the whole suite batched)."""
+    net, params = net3()
+
+    def run_all():
+        x, y, z = _coords3()
+        u = _ann_field(net, params, (x, y, z))
+        v = _ann_field(net, params, (x, y, z))
+        outs = []
+        outs += ops.grad(u, x, y, z)
+        outs += [ops.div(u, v, u * v, x, y, z)]
+        outs += list(ops.curl(u, v, u * v, x, y, z))
+        outs += [ops.laplacian(u, x, y, z)]
+        outs += list(ops.vector_laplacian(u, v, u + v, x, y, z))
+        # curl of curl: second-order mixed compositions on every component
+        outs += list(ops.curl(*ops.curl(u, v, u * v, x, y, z), x, y, z))
+        r, th, ph = x, y, z
+        outs += ops.spherical_grad(u, r, th, ph)
+        outs += [ops.spherical_div(u, v, u * v, r, th, ph)]
+        outs += list(ops.spherical_curl(u, v, u * v, r, th, ph))
+        outs += [ops.spherical_laplacian(u, r, th, ph)]
+        outs += list(ops.spherical_vector_laplacian(u, v, u + v, r, th, ph))
+        outs += list(ops.spherical_curl(*ops.spherical_curl(u, v, u * v, r, th, ph),
+                                        r, th, ph))
+        rho = x
+        outs += ops.cylindrical_grad(u, rho, ph, z)
+        outs += [ops.cylindrical_div(u, v, u * v, rho, ph, z)]
+        outs += list(ops.cylindrical_curl(u, v, u * v, rho, ph, z))
+        outs += [ops.cylindrical_laplacian(u, rho, ph, z)]
+        outs += list(ops.cylindrical_vector_laplacian(u, v, u + v, rho, ph, z))
+        total = outs[0]
+        for o in outs[1:]:
+            total = total + o
+        return total
+
+    F.reset_taylor_fallback_count()
+    val = np.asarray(run_all().value)
+    assert np.isfinite(val).all()
+    assert F.taylor_fallback_count() == 0, \
+        f"{F.taylor_fallback_count()} per-sample fallbacks in the operator suite"
+
+
+def test_curl_of_curl_equivalence():
+    """curl(curl(V)) (cartesian and spherical): the full mixed-partial
+    composition agrees with the per-sample compose path."""
+    net, params = net3()
+
+    def cart():
+        x, y, z = _coords3()
+        u = _ann_field(net, params, (x, y, z))
+        v = _ann_field(net, params, (x, y, z))
+        a, b, c = ops.curl(*ops.curl(u, v, u * v, x, y, z), x, y, z)
+        return a + b + c
+
+    both_modes(cart, atol=1e-5)
+
+    def sph():
+        r, th, ph = _coords3()
+        u = _ann_field(net, params, (r, th, ph))
+        a, b, c = ops.spherical_curl(
+            *ops.spherical_curl(u, 2 * u, u * u, r, th, ph), r, th, ph)
+        return a + b + c
+
+    both_modes(sph, atol=1e-4)
 
 
 def test_same_direction_diff_chain(net2):
@@ -233,13 +350,14 @@ def test_derivative_expression_composition(net2):
     x, y = _coords2()
     u = _ann_field(net, params, (x, y))
     u_x = diff(u, x)
-    assert u_x.tvalid == frozenset((x.index,))
+    assert u_x._dinfo == (u, ((x.index, 1),))
     composed = diff(x ** 2 * u_x, x)
     assert composed._dinfo is not None and composed.trule is not None
 
-    # invalid-direction read is refused (falls back, stays correct)
+    # cross-direction composition ALSO stays batched (mixed partials are
+    # recovered by polarization, round 3 — no per-sample fallback)
     other = diff(x ** 2 * u_x, y)
-    assert other._dinfo is None and other.trule is None
+    assert other._dinfo is not None and other.trule is not None
 
 
 def test_derivative_expression_second_order(net2):
