@@ -198,12 +198,15 @@ class Monitor2D(BaseMonitor):
         ]
 
         for i, (ax, u, con) in enumerate(zip(self.axs[:-2], us, conditions)):
+            # the colorbar must go BEFORE ax.clear(): removing it afterwards
+            # dereferences the cleared parent axes inside matplotlib
+            if self.cbs[i] is not None:
+                self.cbs[i].remove()
+                self.cbs[i] = None
             ax.clear()
             u = u.flatten()
             if self.solution_style == 'heatmap':
                 cs = self._create_contour(ax, self.xs_plot, self.ys_plot, u, con)
-                if self.cbs[i] is not None:
-                    self.cbs[i].remove()
                 self.cbs[i] = self.fig.colorbar(cs, format='%.0e', ax=ax)
                 ax.set_title(f'u[{i}](x, y)')
             else:
@@ -372,6 +375,10 @@ class MonitorSpherical(BaseMonitor):
         ax.set_ylabel(var_name)
 
     def _update_contourf(self, var_name, ax, u, colorbar_index):
+        # the colorbar must go BEFORE ax.clear() (see Monitor2D.check)
+        if self.cbs[colorbar_index]:
+            self.cbs[colorbar_index].remove()
+            self.cbs[colorbar_index] = None
         ax.clear()
         ax.set_xlabel('$\\phi$')
         ax.set_ylabel('$\\theta$')
@@ -390,8 +397,6 @@ class MonitorSpherical(BaseMonitor):
             ax.grid(which='minor', linestyle=':', linewidth=0.5)
         else:  # pragma: no cover - old matplotlib fallback
             cax = ax.matshow(u, cmap='magma', interpolation='nearest')
-        if self.cbs[colorbar_index]:
-            self.cbs[colorbar_index].remove()
         self.cbs[colorbar_index] = self.fig.colorbar(cax, ax=ax)
 
     def new(self):
@@ -513,6 +518,14 @@ class StreamPlotMonitor2D(BaseMonitor):
         self.equal_aspect = equal_aspect
 
     def _plot_streamlines(self, ax, us, vs, norms, cb_idx, is_grad=False):
+        # the colorbar must go BEFORE ax.clear() (see Monitor2D.check)
+        if self.cbs[cb_idx] is not None:
+            try:
+                self.cbs[cb_idx].remove()
+            except Exception as e:  # pragma: no cover - matplotlib version quirk
+                print(e)
+                traceback.print_exc()
+            self.cbs[cb_idx] = None
         ax.clear()
         if self.mask is not None:
             us = us.copy()
@@ -523,12 +536,6 @@ class StreamPlotMonitor2D(BaseMonitor):
         kwargs = dict(color=norms.transpose())
         kwargs.update(self.stream_kwargs)
         stream = ax.streamplot(self.xs_plot[:, 0], self.ys_plot[0, :], us.transpose(), vs.transpose(), **kwargs)
-        if self.cbs[cb_idx] is not None:
-            try:
-                self.cbs[cb_idx].remove()
-            except Exception as e:  # pragma: no cover - matplotlib version quirk
-                print(e)
-                traceback.print_exc()
         self.cbs[cb_idx] = plt.colorbar(stream.lines, ax=ax)
         if self.equal_aspect:
             ax.set_aspect('equal', adjustable='box')
