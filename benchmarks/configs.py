@@ -24,7 +24,9 @@ from neurodiffeq_tpu.utils import set_seed
 
 def _timed_fit(solver, epochs, points_per_epoch):
     """Run `epochs` epochs through the chunked path; return (epochs/s, points/s)."""
-    solver.fit(max_epochs=min(epochs, 100), tqdm_file=None)  # warmup/compile
+    # one warmup fit compiles the dynamic-length chunk program, which serves
+    # EVERY later chunk span — the timed run is compile-free
+    solver.fit(max_epochs=min(epochs, 100), tqdm_file=None)
     t0 = time.perf_counter()
     solver.fit(max_epochs=epochs, tqdm_file=None)
     # force sync

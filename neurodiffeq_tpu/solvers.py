@@ -603,6 +603,58 @@ class BaseSolver(ABC, PretrainedSolver):
 
         return jax.jit(chunk)
 
+    def _build_fit_chunk_dynamic(self):
+        """Like :meth:`_build_fit_chunk` but with a TRACED epoch count: one
+        ``lax.fori_loop`` program with fixed ``_FIT_CHUNK``-sized output
+        buffers serves every chunk length fit() ever requests. One compile per
+        solver instead of one per distinct span — compiling a fresh scan for
+        each remainder/callback boundary measured as the dominant wall-clock
+        cost of small and medium fits on the remote-compile TPU environment
+        (device time 79 us/epoch on the LV config vs seconds per compile)."""
+        train_epoch = self._get_compiled('train_epoch_raw', self._build_train_epoch_raw)
+        valid_epoch = self._get_compiled('valid_epoch_raw', self._build_valid_epoch_raw)
+        has_valid = self.n_batches['valid'] > 0
+        ravel, unravel = self._ravel, self._unravel
+        B = _FIT_CHUNK
+        metric_names = tuple(self.metrics_fn)
+
+        def chunk(params, opt_state, best_params, lowest_loss, key, n):
+            dtype = jnp.asarray(lowest_loss).dtype
+            bufs = (
+                jnp.zeros(B, dtype),                                 # train loss
+                jnp.zeros(B, dtype),                                 # valid loss
+                {m: jnp.zeros(B, dtype) for m in metric_names},      # train metrics
+                {m: jnp.zeros(B, dtype) for m in metric_names},      # valid metrics
+            )
+
+            def body(i, carry):
+                p, opt_state, best_p, lowest_loss, (tl, vl, tm, vm) = carry
+                kt, kv = jax.random.split(jax.random.fold_in(key, i))
+                p, opt_state, train_loss, train_metrics = train_epoch(p, opt_state, kt)
+                if has_valid:
+                    valid_loss, valid_metrics = valid_epoch(p, kv)
+                    watched = valid_loss
+                else:
+                    valid_loss = jnp.asarray(jnp.nan, dtype)
+                    valid_metrics = {m: jnp.asarray(jnp.nan, dtype) for m in metric_names}
+                    watched = train_loss
+                better = watched < lowest_loss
+                best_p = _tree_select(better, p, best_p)
+                lowest_loss = jnp.where(better, watched, lowest_loss)
+                bufs = (
+                    tl.at[i].set(train_loss),
+                    vl.at[i].set(valid_loss),
+                    {m: tm[m].at[i].set(train_metrics[m]) for m in metric_names},
+                    {m: vm[m].at[i].set(valid_metrics[m]) for m in metric_names},
+                )
+                return (p, opt_state, best_p, lowest_loss, bufs)
+
+            carry = (ravel(params), opt_state, ravel(best_params), lowest_loss, bufs)
+            p, opt_state, best_p, lowest_loss, outs = jax.lax.fori_loop(0, n, body, carry)
+            return (unravel(p), opt_state, unravel(best_p), lowest_loss), outs
+
+        return jax.jit(chunk)
+
     # ------------------------------------------------------------- host epochs
 
     def _generate_batch(self, key):
@@ -824,17 +876,19 @@ class BaseSolver(ABC, PretrainedSolver):
             best_params = self.best_params
             lowest = jnp.asarray(self.lowest_loss, dtype=dtype)
 
-        chunk_fn = self._get_compiled(f'fit_chunk_{n}', lambda n=n: self._build_fit_chunk(n))
+        chunk_fn = self._get_compiled('fit_chunk_dyn', self._build_fit_chunk_dynamic)
         (params, opt_state, best_params, lowest), outs = chunk_fn(
-            self.params, self.opt_state, best_params, lowest, next_rng_key())
+            self.params, self.opt_state, best_params, lowest, next_rng_key(), n)
         train_losses, valid_losses, train_metrics, valid_metrics = outs
-        self.metrics_history['train_loss'].extend(np.asarray(train_losses).tolist())
+        self.metrics_history['train_loss'].extend(np.asarray(train_losses)[:n].tolist())
         if self.n_batches['valid'] > 0:
-            self.metrics_history['valid_loss'].extend(np.asarray(valid_losses).tolist())
+            self.metrics_history['valid_loss'].extend(np.asarray(valid_losses)[:n].tolist())
         for name in self.metrics_fn:
-            self.metrics_history['train__' + name].extend(np.asarray(train_metrics[name]).tolist())
+            self.metrics_history['train__' + name].extend(
+                np.asarray(train_metrics[name])[:n].tolist())
             if self.n_batches['valid'] > 0:
-                self.metrics_history['valid__' + name].extend(np.asarray(valid_metrics[name]).tolist())
+                self.metrics_history['valid__' + name].extend(
+                    np.asarray(valid_metrics[name])[:n].tolist())
         self.params, self.opt_state = params, opt_state
         self.best_params = best_params
         self.lowest_loss = float(lowest)
