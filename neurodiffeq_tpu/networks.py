@@ -269,9 +269,13 @@ class FCNN(Module):
         propagation runs as one TPU kernel."""
         from .ops.taylor import affine_series, TSeries
         from .ops.pallas_mlp import pallas_enabled, fcnn_taylor_pallas
+        _PALLAS_ACTVS = {Tanh: 'tanh', SinActv: 'sin'}
+        actv_kinds = {_PALLAS_ACTVS.get(type(a)) for a in self.actvs}
         if (pallas_enabled() and getattr(series, 'meta', None) == 'raw_coords'
-                and 1 <= ctx.order <= 2 and all(type(a) is Tanh for a in self.actvs)):
-            outs = fcnn_taylor_pallas(series.c0, params['layers'], ctx.order, ctx.n_dirs)
+                and 1 <= ctx.order <= 2 and len(actv_kinds) == 1
+                and None not in actv_kinds):
+            outs = fcnn_taylor_pallas(series.c0, params['layers'], ctx.order,
+                                      ctx.n_dirs, actv=actv_kinds.pop())
             # the kernel returns stacked (D, N, m) coefficients; re-layout to
             # match the context
             if ctx.stacked:

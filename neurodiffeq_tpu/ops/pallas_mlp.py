@@ -81,7 +81,19 @@ def pallas_config():
     return dict(_CONFIG)
 
 
-def _kernel(x_ref, *refs, n_layers, order, n_dirs):
+def _actv_chain(z, actv):
+    """(value, f', f'') of the activation, reusing the forward value."""
+    if actv == 'tanh':
+        a = jnp.tanh(z)
+        f1 = 1 - a * a
+        return a, f1, -2 * a * f1
+    if actv == 'sin':
+        a = jnp.sin(z)
+        return a, jnp.cos(z), -a
+    raise ValueError(f"unsupported pallas activation {actv}")  # pragma: no cover
+
+
+def _kernel(x_ref, *refs, n_layers, order, n_dirs, actv):
     """Fused Taylor-MLP tile kernel. refs = [W1, b1, ..., WL, bL, out refs...]."""
     param_refs = refs[:2 * n_layers]
     out_refs = refs[2 * n_layers:]
@@ -103,12 +115,11 @@ def _kernel(x_ref, *refs, n_layers, order, n_dirs):
         out_refs[0][:] = z0
         return
 
-    a = jnp.tanh(z0)
+    a, f1, f2 = _actv_chain(z0, actv)
     if order >= 1:
-        s = 1 - a * a                               # (T, H)
-        u1 = s[None, :, :] * Ws[0][:, None, :]      # (D, T, H)
+        u1 = f1[None, :, :] * Ws[0][:, None, :]     # (D, T, H)
     if order >= 2:
-        u2 = (-2 * a * s)[None, :, :] * (Ws[0] * Ws[0])[:, None, :]
+        u2 = f2[None, :, :] * (Ws[0] * Ws[0])[:, None, :]
 
     # ---- middle layers
     for li in range(1, n_layers - 1):
@@ -124,12 +135,11 @@ def _kernel(x_ref, *refs, n_layers, order, n_dirs):
                 jnp.dot(u2[d], W, preferred_element_type=acc_dtype)
                 for d in range(n_dirs)
             ])
-        a = jnp.tanh(z0)
+        a, f1, f2 = _actv_chain(z0, actv)
         if order >= 1:
-            s = 1 - a * a
-            new_u1 = s[None] * z1
+            new_u1 = f1[None] * z1
         if order >= 2:
-            u2 = s[None] * z2 + (-2 * a * s)[None] * z1 * z1
+            u2 = f1[None] * z2 + f2[None] * z1 * z1
         if order >= 1:
             u1 = new_u1
 
@@ -148,7 +158,7 @@ def _kernel(x_ref, *refs, n_layers, order, n_dirs):
         ])
 
 
-def _pallas_call(points, flat_params, n_layers, order, n_dirs, n_out, tile, interpret):
+def _pallas_call(points, flat_params, n_layers, order, n_dirs, n_out, tile, interpret, actv):
     n, d = points.shape
     dtype = points.dtype
 
@@ -166,7 +176,7 @@ def _pallas_call(points, flat_params, n_layers, order, n_dirs, n_out, tile, inte
         out_shapes.append(jax.ShapeDtypeStruct((n_dirs, n, n_out), dtype))
         out_specs.append(pl.BlockSpec((n_dirs, tile, n_out), lambda i: (0, i, 0)))
 
-    kernel = functools.partial(_kernel, n_layers=n_layers, order=order, n_dirs=n_dirs)
+    kernel = functools.partial(_kernel, n_layers=n_layers, order=order, n_dirs=n_dirs, actv=actv)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -178,7 +188,7 @@ def _pallas_call(points, flat_params, n_layers, order, n_dirs, n_out, tile, inte
     return outs
 
 
-def _pure_jax_taylor(points, flat_params, n_layers, order, n_dirs):
+def _pure_jax_taylor(points, flat_params, n_layers, order, n_dirs, actv='tanh'):
     """Reference implementation (also the rematerialized backward): plain
     batched Taylor propagation, numerically identical to the kernel."""
     Ws = [flat_params[2 * i] for i in range(n_layers)]
@@ -194,21 +204,19 @@ def _pure_jax_taylor(points, flat_params, n_layers, order, n_dirs):
             outs.append(jnp.zeros_like(c1))
         return tuple(outs)
 
-    a = jnp.tanh(z0)
-    s = 1 - a * a
-    u1 = s[None] * Ws[0][:, None, :]
-    u2 = (-2 * a * s)[None] * (Ws[0] * Ws[0])[:, None, :] if order >= 2 else None
+    a, f1, f2 = _actv_chain(z0, actv)
+    u1 = f1[None] * Ws[0][:, None, :]
+    u2 = f2[None] * (Ws[0] * Ws[0])[:, None, :] if order >= 2 else None
 
     for li in range(1, n_layers - 1):
         W, b = Ws[li], bs[li]
         z0 = a @ W + b
         z1 = u1 @ W
         z2 = u2 @ W if order >= 2 else None
-        a = jnp.tanh(z0)
-        s = 1 - a * a
+        a, f1, f2 = _actv_chain(z0, actv)
         if order >= 2:
-            u2 = s[None] * z2 + (-2 * a * s)[None] * z1 * z1
-        u1 = s[None] * z1
+            u2 = f1[None] * z2 + f2[None] * z1 * z1
+        u1 = f1[None] * z1
 
     W, b = Ws[-1], bs[-1]
     outs = [a @ W + b]
@@ -219,20 +227,20 @@ def _pure_jax_taylor(points, flat_params, n_layers, order, n_dirs):
     return tuple(outs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
-def _fused(points, flat_params, n_layers, order, n_dirs, n_out, tile, interpret):
-    return _pallas_call(points, flat_params, n_layers, order, n_dirs, n_out, tile, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _fused(points, flat_params, n_layers, order, n_dirs, n_out, tile, interpret, actv):
+    return _pallas_call(points, flat_params, n_layers, order, n_dirs, n_out, tile, interpret, actv)
 
 
-def _fused_fwd(points, flat_params, n_layers, order, n_dirs, n_out, tile, interpret):
-    out = _pallas_call(points, flat_params, n_layers, order, n_dirs, n_out, tile, interpret)
+def _fused_fwd(points, flat_params, n_layers, order, n_dirs, n_out, tile, interpret, actv):
+    out = _pallas_call(points, flat_params, n_layers, order, n_dirs, n_out, tile, interpret, actv)
     return out, (points, flat_params)
 
 
-def _fused_bwd(n_layers, order, n_dirs, n_out, tile, interpret, res, g):
+def _fused_bwd(n_layers, order, n_dirs, n_out, tile, interpret, actv, res, g):
     points, flat_params = res
     _, vjp = jax.vjp(
-        lambda pts, fp: _pure_jax_taylor(pts, fp, n_layers, order, n_dirs),
+        lambda pts, fp: _pure_jax_taylor(pts, fp, n_layers, order, n_dirs, actv),
         points, flat_params)
     d_points, d_params = vjp(tuple(g))
     return d_points, d_params
@@ -241,7 +249,7 @@ def _fused_bwd(n_layers, order, n_dirs, n_out, tile, interpret, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
-def fcnn_taylor_pallas(points, layer_params, order, n_dirs, tile=None, interpret=None):
+def fcnn_taylor_pallas(points, layer_params, order, n_dirs, tile=None, interpret=None, actv='tanh'):
     """Fused Taylor evaluation of a tanh FCNN on ``points``.
 
     :param points: (N, d) collocation points (the probe directions are the d
@@ -278,7 +286,7 @@ def fcnn_taylor_pallas(points, layer_params, order, n_dirs, tile=None, interpret
         pad = 0
         points_p = points
 
-    outs = _fused(points_p, tuple(flat_params), n_layers, order, n_dirs, n_out, tile, interpret)
+    outs = _fused(points_p, tuple(flat_params), n_layers, order, n_dirs, n_out, tile, interpret, actv)
     if pad:
         outs = tuple(o[:n] if o.ndim == 2 else o[:, :n] for o in outs)
     return outs

@@ -111,3 +111,30 @@ def test_end_to_end_training_with_pallas():
     ts = np.linspace(0, 2, 30)
     err = np.abs(np.asarray(sol(ts)) - np.exp(-ts)).max()
     assert err < 5e-2, f"training with pallas kernel failed to converge: {err}"
+
+
+def test_sin_activation_matches_taylor_engine():
+    """The sin-activation kernel (round 3: the LV tiny-shape regime uses
+    SinActv nets) must agree with the batched Taylor engine."""
+    import numpy as np
+    from neurodiffeq_tpu import fields as F
+    from neurodiffeq_tpu.conditions import _ann_field
+    from neurodiffeq_tpu.networks import FCNN, SinActv
+
+    net = FCNN(1, 1, hidden_units=(16, 16), actv=SinActv)
+    params = jax.tree.map(lambda a: jnp.asarray(np.asarray(a), jnp.float64),
+                          net.init(jax.random.PRNGKey(0)))
+    pts = jnp.asarray(np.random.RandomState(0).rand(32, 1))
+
+    out = fcnn_taylor_pallas(pts, params['layers'], order=2, n_dirs=1,
+                             interpret=True, actv='sin')
+    ref = _pure_jax_taylor(pts, _flat(params), 3, 2, 1, actv='sin')
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=1e-10)
+
+    # and the pure-jax sin path agrees with the generic Taylor engine
+    t, = F.coordinates(np.asarray(pts).flatten())
+    u = _ann_field(net, params, (t,))
+    from neurodiffeq_tpu.fields import diff
+    d2 = np.asarray(diff(u, t, 2).value)
+    np.testing.assert_allclose(np.asarray(ref[2][0]), d2, atol=1e-8)
