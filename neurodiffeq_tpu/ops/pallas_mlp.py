@@ -22,7 +22,11 @@ directly.
 Enable with ``neurodiffeq_tpu.ops.enable_pallas()`` (off by default; requires
 a TPU backend or interpreter mode for tests).
 
-Measured on TPU v5e (tanh FCNN 2-512-1, order 2, fwd only, f32):
+RESOLVED (round 3): XLA's automatic fusion is the right default at EVERY
+shape family this workload produces, and the "fold residual+loss into the
+kernel" idea is closed as not worth building. The evidence:
+
+Large batches (tanh FCNN 2-512-1, order 2, fwd only, f32, TPU v5e, round 2):
 
 ==========  ===========  =========
 batch       pallas       plain XLA
@@ -32,12 +36,27 @@ batch       pallas       plain XLA
 65,536      145.9M       288.7M
 ==========  ===========  =========
 
-XLA's automatic fusion WINS for this shape family (skinny K=2 / N=1 matmuls
-with large elementwise chains) — which is why the kernel is opt-in rather than
-the default. It is kept as (a) the scaffold for multi-op fusions XLA cannot do
-(residual + loss folded into the network pass, planned), and (b) a numerically
-tighter path (f32 accumulation; the XLA path uses the TPU's default bf16
-matmul passes, ~4e-3 relative difference).
+Here the step sits at the VPU elementwise roofline (benchmarks/RESULTS.md
+round 2); a kernel with the same FLOPs cannot beat it, and the handwritten
+schedule loses the fusion XLA finds.
+
+Tiny batches (the other candidate regime: LV config, 2x sin FCNN 1-32-32-1,
+batch 32, full train chunk incl. backward+Adam, interleaved A/B medians of 4,
+round 3): pallas 12,865 epochs/s vs XLA 13,197 — a statistical tie (rep
+spread 12,450-13,408). At this scale the compiled epoch is ~100 small fused
+kernels in ~79 us — ~0.8 us each, the TPU's per-op floor — so replacing the
+~15-op network-series group with one pallas launch (whose fixed cost is the
+same ~1-2 us) moves nothing. The actual tiny-shape bottlenecks were dispatch
+and per-span compiles, fixed host-side (dynamic-length fit chunks, flat
+parameter carry: LV 3.5x -> 26.7x torch-CPU) — not kernel count. A
+residual+loss mega-fusion would cut kernel count further, but its ceiling is
+the same per-op floor already reached; the measured tie bounds the win at
+~zero.
+
+The kernel stays opt-in (``ops.enable_pallas()``) as a numerically tighter
+path (f32 accumulation; the XLA path uses the TPU's default bf16 matmul
+passes, ~4e-3 relative difference) and as the scaffold should a future
+workload (deeper nets, higher orders) change the arithmetic.
 """
 import functools
 
