@@ -97,13 +97,24 @@ class MonitorCallback(ActionCallback):
     :param monitor: The underlying monitor responsible for plotting solutions.
     :param fig_dir: Directory for saving monitor figs; not saved if omitted.
     :param format: Figure format ('png' default).
+    :param background: If True, draw on a worker thread instead of stalling
+        training (parameters are immutable pytrees, so the snapshot handed to
+        the thread is race-free by construction). At most one draw is in
+        flight; fires arriving while the worker is busy are SKIPPED (the live
+        plot simply lags), except the final local epoch, which always joins
+        and draws synchronously so the last state is rendered. Matplotlib is
+        only ever touched by one thread at a time. Default False (reference
+        semantics: the draw completes before training resumes).
     """
 
-    def __init__(self, monitor, fig_dir=None, format=None, logger=None, **kwargs):
+    def __init__(self, monitor, fig_dir=None, format=None, logger=None,
+                 background=False, **kwargs):
         super().__init__(logger=logger)
         self.monitor = monitor
         self.fig_dir = fig_dir
         self.format = format or 'png'
+        self.background = background
+        self._worker = None
 
         for kw in ['check_against_local', 'check_against']:
             if kwargs.pop(kw, None) is not None:
@@ -125,18 +136,38 @@ class MonitorCallback(ActionCallback):
             _safe_mkdir(fig_dir)
 
     def __call__(self, solver):
-        self.monitor.check(
-            solver.nets,
-            solver.conditions,
-            history=solver.metrics_history,
-            # expand dedup'd params so they zip 1:1 with nets (shared-net setups)
-            params=solver._expand_params(solver.params),
-            solver=solver,
-        )
-        if self.fig_dir:
-            pic_path = os.path.join(self.fig_dir, f"epoch-{solver.global_epoch}.{self.format}")
-            self.monitor.fig.savefig(pic_path, bbox_inches='tight')
-            self.logger.info(f'plot saved to {pic_path}')
+        # snapshot everything the draw reads: params pytrees are immutable,
+        # the history list is copied, so later training can't race the worker
+        nets = solver.nets
+        conditions = solver.conditions
+        params = solver._expand_params(solver.params)
+        history = {k: list(v) for k, v in solver.metrics_history.items()}
+        global_epoch = solver.global_epoch
+
+        def draw():
+            self.monitor.check(nets, conditions, history=history,
+                               params=params, solver=solver)
+            if self.fig_dir:
+                pic_path = os.path.join(self.fig_dir, f"epoch-{global_epoch}.{self.format}")
+                self.monitor.fig.savefig(pic_path, bbox_inches='tight')
+                self.logger.info(f'plot saved to {pic_path}')
+
+        is_last = solver.local_epoch >= getattr(solver, '_max_local_epoch', 0)
+        if not self.background or is_last:
+            self.flush()
+            draw()
+            return
+        if self._worker is not None and self._worker.is_alive():
+            return  # previous draw still rendering: let the live plot lag
+        import threading
+        self._worker = threading.Thread(target=draw, daemon=True)
+        self._worker.start()
+
+    def flush(self):
+        """Wait for any in-flight background draw to finish."""
+        if self._worker is not None:
+            self._worker.join()
+            self._worker = None
 
 
 class StopCallback(ActionCallback):

@@ -34,10 +34,27 @@ def _updatable_contour_plot_available():
     return (int(major), int(minor)) >= (3, 3)
 
 
+# (net, cond, shapes) -> (net, cond, jitted eval): strong refs pin the ids.
+# Re-tracing the condition-enforced evaluation eagerly on every monitor fire
+# costs dozens of per-op dispatches (~1 ms each over a TPU tunnel); one cached
+# jitted function of the parameters makes a fire a single dispatch.
+_ENFORCE_JIT_CACHE = {}
+
+
 def _enforce_np(net, params, cond, *arrays):
     """Enforce a condition on fixed plotting coordinates; return numpy (N, m)."""
-    coord_fields = F.coordinates(*arrays)
-    return np.asarray(cond.enforce(net, params, *coord_fields).value)
+    import jax
+
+    key = (id(net), id(cond), tuple(np.shape(a) for a in arrays))
+    entry = _ENFORCE_JIT_CACHE.get(key)
+    if entry is None or entry[0] is not net or entry[1] is not cond:
+        def eval_fn(params, cols):
+            coord_fields = F.coordinates(*cols)
+            return cond.enforce(net, params, *coord_fields).value
+
+        entry = (net, cond, jax.jit(eval_fn))
+        _ENFORCE_JIT_CACHE[key] = entry
+    return np.asarray(entry[2](params, [np.asarray(a) for a in arrays]))
 
 
 class BaseMonitor(ABC):
@@ -74,25 +91,43 @@ class BaseMonitor(ABC):
         return condition_cb.set_action_callback(action_cb)
 
     def _pause(self):
-        self.fig.canvas.draw()
+        # On a non-GUI backend (Agg) a canvas render has no observable effect
+        # until someone saves the figure — and savefig re-renders anyway, so
+        # drawing here would only burn host time (measured ~40% of a
+        # Monitor2D.check). Render + pause only when a GUI shows the figure.
         if not self.using_non_gui_backend:
+            self.fig.canvas.draw()
             plt.pause(0.05)
 
     @staticmethod
     def _plot_history(ax, history, losses=True, title=None):
-        ax.clear()
+        # reuse the Line2D artists across fires: re-plotting a multi-thousand
+        # point history (clear + plot + legend + log autoscale) measured as
+        # the dominant per-fire draw cost late in training
+        state = getattr(ax, '_ndq_history_lines', None)
+        if state is None:
+            state = {}
+            ax._ndq_history_lines = state
+            ax.set_title(title or ('loss during training' if losses else 'metrics during training'))
+            ax.set_ylabel('loss' if losses else 'metrics')
+            ax.set_xlabel('epochs')
+            ax.set_yscale('log')
+        new_labels = False
         for name, values in history.items():
             is_loss = name in ('train_loss', 'valid_loss')
             if is_loss != losses:
                 continue
             label = {'train_loss': 'training loss', 'valid_loss': 'validation loss'}.get(name, name)
-            ax.plot(values, label=label)
-        ax.set_title(title or ('loss during training' if losses else 'metrics during training'))
-        ax.set_ylabel('loss' if losses else 'metrics')
-        ax.set_xlabel('epochs')
-        ax.set_yscale('log')
-        if losses or len(history) > 2:
+            line = state.get(name)
+            if line is None:
+                (line,) = ax.plot([], [], label=label)
+                state[name] = line
+                new_labels = True
+            line.set_data(np.arange(len(values)), np.asarray(values, dtype=float))
+        if new_labels and (losses or len(history) > 2):
             ax.legend()
+        ax.relim()
+        ax.autoscale_view()
 
 
 class Monitor1D(BaseMonitor):
@@ -156,10 +191,21 @@ class Monitor2D(BaseMonitor):
         self.axs = []
         self.cbs = []
         if valid_generator is None:
-            valid_generator = _Generator2D([32, 32], xy_min, xy_max, method='equally-spaced')
-        xs, ys = valid_generator.sample(__import__('jax').random.PRNGKey(0))
-        self.xs_plot = np.asarray(xs).flatten()
-        self.ys_plot = np.asarray(ys).flatten()
+            # self-built structured grid: heatmaps can draw via pcolormesh
+            # (one quadmesh artist) instead of a 2k-triangle tricontourf —
+            # ~3x cheaper per fire; irregular-domain masking still goes
+            # through triangulation below
+            gx = np.linspace(xy_min[0], xy_max[0], 32)
+            gy = np.linspace(xy_min[1], xy_max[1], 32)
+            X, Y = np.meshgrid(gx, gy)
+            self._mesh_xy = (X, Y)
+            self.xs_plot = X.flatten()
+            self.ys_plot = Y.flatten()
+        else:
+            self._mesh_xy = None
+            xs, ys = valid_generator.sample(__import__('jax').random.PRNGKey(0))
+            self.xs_plot = np.asarray(xs).flatten()
+            self.ys_plot = np.asarray(ys).flatten()
         self.levels = levels
 
     def _create_contour(self, ax, xs, ys, zs, condition):
@@ -198,16 +244,26 @@ class Monitor2D(BaseMonitor):
         ]
 
         for i, (ax, u, con) in enumerate(zip(self.axs[:-2], us, conditions)):
-            # the colorbar must go BEFORE ax.clear(): removing it afterwards
-            # dereferences the cleared parent axes inside matplotlib
-            if self.cbs[i] is not None:
-                self.cbs[i].remove()
-                self.cbs[i] = None
             ax.clear()
             u = u.flatten()
             if self.solution_style == 'heatmap':
-                cs = self._create_contour(ax, self.xs_plot, self.ys_plot, u, con)
-                self.cbs[i] = self.fig.colorbar(cs, format='%.0e', ax=ax)
+                if self._mesh_xy is not None and not isinstance(con, _IrregularBC):
+                    X, Y = self._mesh_xy
+                    cs = ax.pcolormesh(X, Y, u.reshape(X.shape), cmap='coolwarm',
+                                       shading='gouraud')
+                    ax.set_xlabel('x')
+                    ax.set_ylabel('y')
+                    if self.equal_aspect:
+                        ax.set_aspect('equal', adjustable='box')
+                else:
+                    cs = self._create_contour(ax, self.xs_plot, self.ys_plot, u, con)
+                if self.cbs[i] is None:
+                    self.cbs[i] = self.fig.colorbar(cs, format='%.0e', ax=ax)
+                else:
+                    # re-point the existing colorbar at the fresh contour:
+                    # creating one per fire costs a new axes + layout pass,
+                    # and removing one AFTER ax.clear() crashes matplotlib
+                    self.cbs[i].update_normal(cs)
                 ax.set_title(f'u[{i}](x, y)')
             else:
                 # u-x curves grouped by t (= the y coordinate)
@@ -375,10 +431,6 @@ class MonitorSpherical(BaseMonitor):
         ax.set_ylabel(var_name)
 
     def _update_contourf(self, var_name, ax, u, colorbar_index):
-        # the colorbar must go BEFORE ax.clear() (see Monitor2D.check)
-        if self.cbs[colorbar_index]:
-            self.cbs[colorbar_index].remove()
-            self.cbs[colorbar_index] = None
         ax.clear()
         ax.set_xlabel('$\\phi$')
         ax.set_ylabel('$\\theta$')
@@ -397,7 +449,10 @@ class MonitorSpherical(BaseMonitor):
             ax.grid(which='minor', linestyle=':', linewidth=0.5)
         else:  # pragma: no cover - old matplotlib fallback
             cax = ax.matshow(u, cmap='magma', interpolation='nearest')
-        self.cbs[colorbar_index] = self.fig.colorbar(cax, ax=ax)
+        if self.cbs[colorbar_index] is None:
+            self.cbs[colorbar_index] = self.fig.colorbar(cax, ax=ax)
+        else:
+            self.cbs[colorbar_index].update_normal(cax)
 
     def new(self):
         self.fig = None

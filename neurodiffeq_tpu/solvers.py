@@ -620,15 +620,16 @@ class BaseSolver(ABC, PretrainedSolver):
 
         def chunk(params, opt_state, best_params, lowest_loss, key, n):
             dtype = jnp.asarray(lowest_loss).dtype
-            bufs = (
-                jnp.zeros(B, dtype),                                 # train loss
-                jnp.zeros(B, dtype),                                 # valid loss
-                {m: jnp.zeros(B, dtype) for m in metric_names},      # train metrics
-                {m: jnp.zeros(B, dtype) for m in metric_names},      # valid metrics
-            )
+            # ONE history buffer: rows = [train_loss, valid_loss,
+            # *train_metrics, *valid_metrics, lowest] — the host reads the
+            # whole chunk's history (and the running lowest) in a single
+            # device->host transfer; per-leaf fetches each pay a full tunnel
+            # round trip on networked TPUs
+            K = len(metric_names)
+            buf = jnp.zeros((2 + 2 * K + 1, B), dtype)
 
             def body(i, carry):
-                p, opt_state, best_p, lowest_loss, (tl, vl, tm, vm) = carry
+                p, opt_state, best_p, lowest_loss, buf = carry
                 kt, kv = jax.random.split(jax.random.fold_in(key, i))
                 p, opt_state, train_loss, train_metrics = train_epoch(p, opt_state, kt)
                 if has_valid:
@@ -641,17 +642,18 @@ class BaseSolver(ABC, PretrainedSolver):
                 better = watched < lowest_loss
                 best_p = _tree_select(better, p, best_p)
                 lowest_loss = jnp.where(better, watched, lowest_loss)
-                bufs = (
-                    tl.at[i].set(train_loss),
-                    vl.at[i].set(valid_loss),
-                    {m: tm[m].at[i].set(train_metrics[m]) for m in metric_names},
-                    {m: vm[m].at[i].set(valid_metrics[m]) for m in metric_names},
-                )
-                return (p, opt_state, best_p, lowest_loss, bufs)
+                col = jnp.stack(
+                    [train_loss, valid_loss]
+                    + [train_metrics[m] for m in metric_names]
+                    + [valid_metrics[m] for m in metric_names]
+                    + [lowest_loss]
+                ).astype(dtype)
+                buf = jax.lax.dynamic_update_slice(buf, col[:, None], (0, i))
+                return (p, opt_state, best_p, lowest_loss, buf)
 
-            carry = (ravel(params), opt_state, ravel(best_params), lowest_loss, bufs)
-            p, opt_state, best_p, lowest_loss, outs = jax.lax.fori_loop(0, n, body, carry)
-            return (unravel(p), opt_state, unravel(best_p), lowest_loss), outs
+            carry = (ravel(params), opt_state, ravel(best_params), lowest_loss, buf)
+            p, opt_state, best_p, lowest_loss, buf = jax.lax.fori_loop(0, n, body, carry)
+            return (unravel(p), opt_state, unravel(best_p), lowest_loss), buf
 
         return jax.jit(chunk)
 
@@ -877,21 +879,23 @@ class BaseSolver(ABC, PretrainedSolver):
             lowest = jnp.asarray(self.lowest_loss, dtype=dtype)
 
         chunk_fn = self._get_compiled('fit_chunk_dyn', self._build_fit_chunk_dynamic)
-        (params, opt_state, best_params, lowest), outs = chunk_fn(
+        (params, opt_state, best_params, lowest), buf = chunk_fn(
             self.params, self.opt_state, best_params, lowest, next_rng_key(), n)
-        train_losses, valid_losses, train_metrics, valid_metrics = outs
-        self.metrics_history['train_loss'].extend(np.asarray(train_losses)[:n].tolist())
+        # the whole chunk's history + running lowest arrives as ONE packed
+        # array = one device->host transfer (per-leaf fetches each pay a full
+        # tunnel round trip, which dominated callback-bounded chunks)
+        buf = np.asarray(buf)
+        self.metrics_history['train_loss'].extend(buf[0, :n].tolist())
         if self.n_batches['valid'] > 0:
-            self.metrics_history['valid_loss'].extend(np.asarray(valid_losses)[:n].tolist())
-        for name in self.metrics_fn:
-            self.metrics_history['train__' + name].extend(
-                np.asarray(train_metrics[name])[:n].tolist())
+            self.metrics_history['valid_loss'].extend(buf[1, :n].tolist())
+        for k, name in enumerate(self.metrics_fn):
+            self.metrics_history['train__' + name].extend(buf[2 + k, :n].tolist())
             if self.n_batches['valid'] > 0:
                 self.metrics_history['valid__' + name].extend(
-                    np.asarray(valid_metrics[name])[:n].tolist())
+                    buf[2 + len(self.metrics_fn) + k, :n].tolist())
         self.params, self.opt_state = params, opt_state
         self.best_params = best_params
-        self.lowest_loss = float(lowest)
+        self.lowest_loss = float(buf[-1, n - 1])
         self._fit_chunk_sizes.append(n)
 
     # ------------------------------------------------------------- inspection

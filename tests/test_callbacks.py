@@ -354,3 +354,47 @@ def test_on_first_global_and_last_local(solver):
 def test_progress_bar_callback(solver):
     pb = cb.ProgressBarCallBack()
     pb(solver)  # no tqdm bar attached: must be a no-op, not a crash
+
+
+def test_monitor_callback_background_mode():
+    """background=True: slow draws run on a worker thread, at most one in
+    flight (busy fires skipped), and the final local epoch always draws
+    synchronously so the last state is rendered."""
+    import threading
+    import time as _time
+    from neurodiffeq_tpu.callbacks import MonitorCallback
+
+    calls = []
+    release = threading.Event()
+
+    class SlowMonitor:
+        fig = None
+
+        def check(self, nets, conditions, history, params=None, solver=None):
+            calls.append(len(history['train_loss']))
+            release.wait(timeout=5)
+
+    class FakeSolver:
+        nets = conditions = ()
+        params = []
+        local_epoch = 1
+        global_epoch = 1
+        _max_local_epoch = 10
+        metrics_history = {'train_loss': [1.0]}
+
+        def _expand_params(self, p):
+            return []
+
+    cb = MonitorCallback(SlowMonitor(), background=True)
+    s = FakeSolver()
+    cb(s)                      # starts worker (blocked on `release`)
+    s.metrics_history = {'train_loss': [1.0, 2.0]}
+    cb(s)                      # worker busy -> skipped
+    assert calls == [1]
+    release.set()
+    cb.flush()
+    s.local_epoch = 10         # last epoch: joins + draws synchronously
+    s.metrics_history = {'train_loss': [1.0, 2.0, 3.0]}
+    cb(s)
+    assert calls == [1, 3]
+    assert cb._worker is None or not cb._worker.is_alive()
