@@ -137,6 +137,104 @@ def test_hub_upload_download_mocked(tmp_path, monkeypatch):
     assert loaded.global_epoch == 2
 
 
+def test_hub_contract_real_http(tmp_path, monkeypatch):
+    """Socket-level hub contract test: a real HTTP exchange (actual
+    ``requests`` over localhost) against a server implementing the hub API
+    shape (reference solvers_utils.py:345-389, 506-516 — multipart POST to
+    ``solutions/upload`` with ``api-key`` header + name/description form
+    fields; GET ``solutions/download/<name>`` returning the blob). Unlike
+    the mocked test above, this exercises requests' real multipart encoding
+    and the full wire round trip."""
+    import io
+    import threading
+    import dill
+    from email.parser import BytesParser
+    from email.policy import default as email_default_policy
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    store = {}
+    seen = {}
+
+    class HubHandler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # keep pytest output clean
+            pass
+
+        def do_POST(self):
+            assert self.path == '/v1/solutions/upload'
+            seen['api_key'] = self.headers.get('api-key')
+            body = self.rfile.read(int(self.headers['Content-Length']))
+            # parse requests' multipart/form-data encoding with the stdlib
+            msg = BytesParser(policy=email_default_policy).parsebytes(
+                b'Content-Type: ' + self.headers['Content-Type'].encode()
+                + b'\r\n\r\n' + body)
+            assert msg.is_multipart()
+            fields = {}
+            for part in msg.iter_parts():
+                fields[part.get_param('name', header='content-disposition')] = \
+                    part.get_payload(decode=True)
+            seen['form_name'] = fields['name'].decode()
+            seen['form_description'] = fields['description'].decode()
+            store[seen['form_name']] = fields['file']
+            self.send_response(200)
+            self.send_header('Content-Type', 'application/json')
+            self.end_headers()
+            self.wfile.write(b'{"status": "ok"}')
+
+        def do_GET(self):
+            prefix = '/v1/solutions/download/'
+            assert self.path.startswith(prefix)
+            name = self.path[len(prefix):]
+            blob = store.get(name)
+            if blob is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header('Content-Type', 'application/octet-stream')
+            self.end_headers()
+            self.wfile.write(blob)
+
+    server = HTTPServer(('127.0.0.1', 0), HubHandler)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        monkeypatch.setenv('NEURODIFF_API_URL', f'http://127.0.0.1:{port}/v1/')
+        monkeypatch.setenv('NEURODIFF_API_KEY', 'contract-key')
+
+        solver = Solver1D(
+            ode_system=_ode,
+            conditions=[IVP(t_0=0.0, u_0=1.0)],
+            t_min=0.0, t_max=2.0,
+        )
+        solver.fit(max_epochs=4, tqdm_file=None)
+        solver.save(name='exp-decay', save_to_hub=True,
+                    description='contract test')
+
+        assert seen['api_key'] == 'contract-key'
+        assert seen['form_name'] == 'exp-decay'
+        assert seen['form_description'] == 'contract test'
+        # the uploaded blob is a complete save_dict
+        d = dill.load(io.BytesIO(store['exp-decay']))
+        assert d['type_name'] == 'Solver1D'
+
+        loaded = Solver1D.load(name='exp-decay')
+        assert loaded.global_epoch == 4
+        ts = np.linspace(0, 2, 9)
+        assert np.allclose(
+            np.asarray(solver.get_solution()(ts)),
+            np.asarray(loaded.get_solution()(ts)), atol=1e-12)
+
+        # download of an unknown name surfaces the HTTP error
+        import requests
+        with pytest.raises(requests.HTTPError):
+            Solver1D.load(name='no-such-solution')
+    finally:
+        server.shutdown()
+        server.server_close()
+        thread.join(timeout=5)
+
+
 def test_save_dict_metadata_contract(tmp_path):
     """The saved dict carries the reference's introspection metadata
     (reference solvers_utils.py:170-245, 307-321): per-layer network
