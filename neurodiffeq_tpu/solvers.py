@@ -300,6 +300,7 @@ class BaseSolver(ABC, PretrainedSolver):
         self._stop_training = False
         self._phase = None
         self._fit_chunk_sizes = []
+        self._uncommitted_epochs = 0
 
         # compiled-function cache; invalidated when loss_fn/optimizer change
         self._compiled = {}
@@ -334,8 +335,11 @@ class BaseSolver(ABC, PretrainedSolver):
 
     @property
     def global_epoch(self):
-        r"""Global epoch count, always equal to the length of train loss history."""
-        return len(self.metrics_history['train_loss'])
+        r"""Global epoch count, always equal to the length of train loss
+        history (plus, transiently, epochs of a device chunk whose history
+        has not been fetched yet — only nonzero while ``fit`` plans the next
+        speculative chunk, so callbacks always see the committed count)."""
+        return len(self.metrics_history['train_loss']) + self._uncommitted_epochs
 
     @property
     def batch(self):
@@ -781,7 +785,7 @@ class BaseSolver(ABC, PretrainedSolver):
     # ------------------------------------------------------------------- fit
 
     def fit(self, max_epochs, callbacks=(), tqdm_file=sys.stderr,
-            profile_dir=None, **kwargs):
+            profile_dir=None, pipeline=True, **kwargs):
         r"""Run multiple epochs of training and validation, update best model.
 
         When all generators are jittable, epochs are scanned on device in
@@ -798,19 +802,34 @@ class BaseSolver(ABC, PretrainedSolver):
             writing a TensorBoard-viewable trace to this directory (the
             profiling hook SURVEY.md §5 specifies; the reference has only a
             tqdm bar, ``solvers.py:475-484``).
+        :param pipeline: speculatively dispatch each next device chunk before
+            fetching the previous chunk's history and running the callbacks,
+            so callback work (monitor draws, checkpoints, ...) overlaps with
+            device compute. Callback cadence, committed epochs, and best
+            tracking are identical to ``pipeline=False``; while no callback
+            mutates training state the numerical stream is bitwise-identical
+            too. A mutating callback (SetLossFn/SetOptimizer/Eve/manual edits)
+            causes the speculative chunk to be discarded and re-dispatched
+            from the mutated state — still correct, but the discard consumes
+            one PRNG key, so sampled points after that epoch differ from an
+            unpipelined run. Defaults to True.
         """
         if profile_dir is not None:
             import jax
 
             with jax.profiler.trace(str(profile_dir)):
                 return self.fit(max_epochs, callbacks=callbacks,
-                                tqdm_file=tqdm_file, profile_dir=None, **kwargs)
+                                tqdm_file=tqdm_file, profile_dir=None,
+                                pipeline=pipeline, **kwargs)
 
         self._stop_training = False
         self._max_local_epoch = max_epochs
         self.local_epoch = 0
         # chunk sizes dispatched this fit() call (diagnostics/tests)
         self._fit_chunk_sizes = []
+        # speculative-pipeline diagnostics: chunks consumed vs discarded
+        self._fit_spec_hits = 0
+        self._fit_spec_misses = 0
 
         monitor = kwargs.pop('monitor', None)
         if monitor:
@@ -829,18 +848,55 @@ class BaseSolver(ABC, PretrainedSolver):
         if tqdm is not None and tqdm_file is not None:
             pbar = tqdm(total=max_epochs, desc='Training Progress', colour='blue',
                         file=tqdm_file, dynamic_ncols=True)
+        # Speculatively dispatched next chunk (see _plan_chunk): the device
+        # computes epochs past the current callback boundary WHILE the host
+        # fetches the history and runs the callbacks. Consumed next iteration
+        # if still valid; silently discarded if a callback mutated training
+        # state (the chunk's device work is wasted, semantics are unchanged).
+        pending = None
         try:
             while self.local_epoch < max_epochs:
                 if self._stop_training:
                     break
-                n = 1
-                if jittable:
-                    boundary = min(self._next_callback_fire(callbacks), max_epochs)
-                    n = min(max(1, boundary - self.local_epoch), _FIT_CHUNK)
+                n = self._plan_chunk(callbacks, max_epochs) if jittable else 1
                 if n > 1 or (jittable and not callbacks):
-                    self._run_chunk_on_device(n)
+                    if pending is not None and self._pending_valid(pending, n):
+                        outs, buf = pending['outs'], pending['buf']
+                        self._fit_spec_hits += 1
+                    else:
+                        if pending is not None:
+                            self._fit_spec_misses += 1
+                        outs, buf = self._dispatch_chunk(n)
+                    pending = None
                     self.local_epoch += n
+                    # queue the next chunk on the device BEFORE the blocking
+                    # history fetch below — planned against the post-chunk
+                    # epoch counters (history itself is not extended yet)
+                    if pipeline and not self._stop_training:
+                        self._uncommitted_epochs = n
+                        n_next = (self._plan_chunk(callbacks, max_epochs)
+                                  if self.local_epoch < max_epochs else 0)
+                        self._uncommitted_epochs = 0
+                        if n_next > 1 or (n_next == 1 and not callbacks):
+                            pending = {
+                                'n': n_next,
+                                'outs_buf': self._dispatch_chunk(
+                                    n_next, outs[0], outs[1], outs[2], outs[3]),
+                                'in_params': outs[0], 'in_opt': outs[1],
+                                'in_best': outs[2],
+                                'compiled': self._compiled,
+                                'gens': (self.generator['train'],
+                                         self.generator['valid']),
+                                'metrics': self.metrics_fn,
+                            }
+                            pending['outs'], pending['buf'] = pending.pop('outs_buf')
+                    self._commit_chunk(outs, buf, n)  # blocks on device->host
+                    if pending is not None:
+                        pending['lowest'] = self.lowest_loss
                 else:
+                    if pending is not None:
+                        self._fit_spec_misses += 1
+                        pending = None
                     self.local_epoch += 1
                     self.run_train_epoch()
                     self.run_valid_epoch()
@@ -848,9 +904,33 @@ class BaseSolver(ABC, PretrainedSolver):
                     cb(self)
                 if pbar is not None:
                     pbar.update(n)
+            if pending is not None:  # stopped with a speculative chunk in flight
+                self._fit_spec_misses += 1
         finally:
             if pbar is not None:
                 pbar.close()
+
+    def _plan_chunk(self, callbacks, max_epochs):
+        """Number of epochs to fuse into the next on-device chunk."""
+        boundary = min(self._next_callback_fire(callbacks), max_epochs)
+        return min(max(1, boundary - self.local_epoch), _FIT_CHUNK)
+
+    def _pending_valid(self, pending, n):
+        """A speculatively dispatched chunk is usable iff no callback mutated
+        anything the dispatch depended on: the carried state objects, the
+        compiled-function cache (loss_fn/optimizer/n_batches hot-swaps
+        replace it via ``_invalidate_compiled``), the generators, the metric
+        set, the best-tracking scalar — and the chunk length still matches
+        the freshly planned boundary."""
+        return (pending['n'] == n
+                and self.params is pending['in_params']
+                and self.opt_state is pending['in_opt']
+                and self.best_params is pending['in_best']
+                and self._compiled is pending['compiled']
+                and self.generator['train'] is pending['gens'][0]
+                and self.generator['valid'] is pending['gens'][1]
+                and self.metrics_fn is pending['metrics']
+                and self.lowest_loss == pending.get('lowest'))
 
     def _next_callback_fire(self, callbacks):
         """Earliest local epoch any callback may fire at (``inf`` if none do).
@@ -867,20 +947,30 @@ class BaseSolver(ABC, PretrainedSolver):
             nxt = min(nxt, hint)
         return nxt
 
-    def _run_chunk_on_device(self, n):
-        """Run ``n`` epochs fused into one on-device scan; update params,
-        optimizer state, best tracking, and the metrics history."""
-        dtype = get_default_dtype()
-        if self.best_params is None:
-            best_params = self.params
-            lowest = jnp.asarray(jnp.inf, dtype=dtype)
-        else:
-            best_params = self.best_params
-            lowest = jnp.asarray(self.lowest_loss, dtype=dtype)
-
+    def _dispatch_chunk(self, n, params=None, opt_state=None,
+                        best_params=None, lowest=None):
+        """Dispatch ``n`` fused epochs to the device WITHOUT blocking; returns
+        ``(outs, buf)`` futures. With explicit state arguments (themselves
+        allowed to be device futures of a previous chunk) the dispatch chains
+        on-device — this is what lets ``fit`` queue the next chunk before the
+        previous one's history has even arrived on the host."""
+        if params is None:
+            dtype = get_default_dtype()
+            params, opt_state = self.params, self.opt_state
+            if self.best_params is None:
+                best_params = self.params
+                lowest = jnp.asarray(jnp.inf, dtype=dtype)
+            else:
+                best_params = self.best_params
+                lowest = jnp.asarray(self.lowest_loss, dtype=dtype)
         chunk_fn = self._get_compiled('fit_chunk_dyn', self._build_fit_chunk_dynamic)
-        (params, opt_state, best_params, lowest), buf = chunk_fn(
-            self.params, self.opt_state, best_params, lowest, next_rng_key(), n)
+        return chunk_fn(params, opt_state, best_params, lowest,
+                        next_rng_key(), n)
+
+    def _commit_chunk(self, outs, buf, n):
+        """Block on the chunk's packed history buffer and fold the results
+        into solver state."""
+        params, opt_state, best_params, lowest = outs
         # the whole chunk's history + running lowest arrives as ONE packed
         # array = one device->host transfer (per-leaf fetches each pay a full
         # tunnel round trip, which dominated callback-bounded chunks)
@@ -897,6 +987,12 @@ class BaseSolver(ABC, PretrainedSolver):
         self.best_params = best_params
         self.lowest_loss = float(buf[-1, n - 1])
         self._fit_chunk_sizes.append(n)
+
+    def _run_chunk_on_device(self, n):
+        """Run ``n`` epochs fused into one on-device scan; update params,
+        optimizer state, best tracking, and the metrics history."""
+        outs, buf = self._dispatch_chunk(n)
+        self._commit_chunk(outs, buf, n)
 
     # ------------------------------------------------------------- inspection
 

@@ -206,6 +206,81 @@ def test_no_callbacks_still_chunks():
     assert len(solver.metrics_history['train_loss']) == 7
 
 
+# ------------------------------------------------------- speculative pipeline
+
+def test_pipeline_speculation_consumed():
+    """With only read-only callbacks every speculative chunk is consumed."""
+    solver = make_solver()
+    rec = _Recorder()
+    solver.fit(20, callbacks=[rec.conditioned_on(cb.PeriodLocal(period=5))],
+               tqdm_file=None)
+    assert solver._fit_chunk_sizes == [5, 5, 5, 5]
+    # chunks 2-4 were dispatched speculatively and all consumed
+    assert solver._fit_spec_hits == 3
+    assert solver._fit_spec_misses == 0
+    assert rec.fired_at == [5, 10, 15, 20]
+
+
+def test_pipeline_results_identical_to_unpipelined():
+    """With no mutating callback the pipelined run is bitwise-identical."""
+    from neurodiffeq_tpu.utils import set_seed
+
+    histories = {}
+    for pipeline in (False, True):
+        set_seed(1234)
+        solver = make_solver()
+        rec = _Recorder()
+        solver.fit(12, callbacks=[rec.conditioned_on(cb.PeriodLocal(period=4))],
+                   tqdm_file=None, pipeline=pipeline)
+        histories[pipeline] = (solver.metrics_history['train_loss'],
+                               solver.metrics_history['valid_loss'],
+                               solver.lowest_loss, rec.fired_at)
+    assert histories[True] == histories[False]
+
+
+def test_pipeline_discards_on_mutating_callback():
+    """SetLossFn invalidates the compiled cache: the in-flight speculative
+    chunk (dispatched with the old loss) must be discarded and re-dispatched,
+    never committed."""
+    solver = make_solver()
+    swap = cb.SetLossFn('l1').conditioned_on(cb.PeriodLocal(period=3))
+    solver.fit(6, callbacks=[swap], tqdm_file=None)
+    assert solver._fit_chunk_sizes == [3, 3]
+    assert solver._fit_spec_misses >= 1
+    assert len(solver.metrics_history['train_loss']) == 6
+    from neurodiffeq_tpu.losses import _losses
+    assert solver.loss_fn is _losses['l1']
+
+
+def test_pipeline_stop_discards_in_flight_chunk():
+    """A StopCallback at a boundary must not commit the speculative chunk
+    dispatched past it."""
+    solver = make_solver()
+    stop = cb.StopCallback().conditioned_on(cb.PeriodLocal(period=4))
+    solver.fit(100, callbacks=[stop], tqdm_file=None)
+    assert len(solver.metrics_history['train_loss']) == 4
+    assert solver._fit_chunk_sizes == [4]
+    assert solver._fit_spec_misses == 1  # the in-flight epochs 5-8 chunk
+
+
+def test_pipeline_global_epoch_consistent_for_callbacks():
+    """Callbacks must always observe the committed global epoch (the
+    speculative planning's transient +n view must never leak)."""
+    solver = make_solver()
+    seen = []
+    rec = _Recorder()
+
+    class _GlobalRecorder(cb.ActionCallback):
+        def __call__(self, cb_solver):
+            seen.append(cb_solver.global_epoch)
+
+    g = _GlobalRecorder().conditioned_on(cb.PeriodGlobal(period=5))
+    solver.fit(15, callbacks=[g], tqdm_file=None)
+    assert seen == [5, 10, 15]
+    assert solver._fit_chunk_sizes == [5, 5, 5]
+    assert solver._fit_spec_hits == 2
+
+
 def test_second_fit_resets_local_epoch():
     solver = make_solver()
     rec = _Recorder()
