@@ -144,16 +144,36 @@ class MonitorCallback(ActionCallback):
         history = {k: list(v) for k, v in solver.metrics_history.items()}
         global_epoch = solver.global_epoch
 
+        is_last = solver.local_epoch >= getattr(solver, '_max_local_epoch', 0)
+        # GUI matplotlib backends (TkAgg/QtAgg/...) must be driven from the
+        # main thread; background draws are only safe under Agg-style ones.
+        background = self.background and not is_last
+        if background and not getattr(self.monitor, 'using_non_gui_backend', False):
+            if not getattr(self, '_warned_gui_backend', False):
+                warnings.warn(
+                    'MonitorCallback(background=True) requires a non-GUI '
+                    'matplotlib backend (e.g. Agg); drawing synchronously.')
+                self._warned_gui_backend = True
+            background = False
+
+        if background:
+            # the worker must never see live training state: hand the monitor
+            # a frozen shallow copy whose mutable history is the snapshot
+            import copy
+            monitor_solver = copy.copy(solver)
+            monitor_solver.metrics_history = history
+        else:
+            monitor_solver = solver
+
         def draw():
             self.monitor.check(nets, conditions, history=history,
-                               params=params, solver=solver)
+                               params=params, solver=monitor_solver)
             if self.fig_dir:
                 pic_path = os.path.join(self.fig_dir, f"epoch-{global_epoch}.{self.format}")
                 self.monitor.fig.savefig(pic_path, bbox_inches='tight')
                 self.logger.info(f'plot saved to {pic_path}')
 
-        is_last = solver.local_epoch >= getattr(solver, '_max_local_epoch', 0)
-        if not self.background or is_last:
+        if not background:
             self.flush()
             draw()
             return

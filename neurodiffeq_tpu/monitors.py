@@ -11,6 +11,7 @@ import math
 import warnings
 import traceback
 from abc import ABC, abstractmethod
+from collections import OrderedDict
 
 import numpy as np
 import matplotlib
@@ -37,8 +38,11 @@ def _updatable_contour_plot_available():
 # (net, cond, shapes) -> (net, cond, jitted eval): strong refs pin the ids.
 # Re-tracing the condition-enforced evaluation eagerly on every monitor fire
 # costs dozens of per-op dispatches (~1 ms each over a TPU tunnel); one cached
-# jitted function of the parameters makes a fire a single dispatch.
-_ENFORCE_JIT_CACHE = {}
+# jitted function of the parameters makes a fire a single dispatch. Bounded
+# LRU: each entry strong-refs a net/condition/compiled executable, so an
+# unbounded dict would leak across long hyperparameter sweeps.
+_ENFORCE_JIT_CACHE = OrderedDict()
+_ENFORCE_JIT_CACHE_MAX = 64
 
 
 def _enforce_np(net, params, cond, *arrays):
@@ -54,6 +58,10 @@ def _enforce_np(net, params, cond, *arrays):
 
         entry = (net, cond, jax.jit(eval_fn))
         _ENFORCE_JIT_CACHE[key] = entry
+        while len(_ENFORCE_JIT_CACHE) > _ENFORCE_JIT_CACHE_MAX:
+            _ENFORCE_JIT_CACHE.popitem(last=False)
+    else:
+        _ENFORCE_JIT_CACHE.move_to_end(key)
     return np.asarray(entry[2](params, [np.asarray(a) for a in arrays]))
 
 

@@ -61,6 +61,10 @@ __all__ = [
 # amortize the per-call host dispatch, which costs ~1 ms over some
 # TPU transports; outputs per epoch are a handful of scalars)
 _FIT_CHUNK = 512
+# vmapping the per-epoch batch passes holds all of them live at once; above
+# this many total points per epoch, fall back to sequential lax.scan so
+# gradient accumulation keeps its memory-bounding semantics.
+_VMAP_EPOCH_POINTS = 16384
 
 
 def _requires_closure(optimizer):
@@ -490,7 +494,11 @@ class BaseSolver(ABC, PretrainedSolver):
         Non-closure optimizers: the ``n_batches_train`` gradient passes are
         ``vmap``-ped (one wide XLA program, not a sequential scan of tiny ops)
         and SUMMED — torch ``.backward()`` accumulation semantics (reference
-        ``solvers.py:360-419``), then one optimizer step. Closure-style
+        ``solvers.py:360-419``), then one optimizer step. vmap materializes
+        all passes concurrently, so it is only used when the epoch's total
+        points fit comfortably on device (``_VMAP_EPOCH_POINTS``); above that,
+        a ``lax.scan`` accumulates grads sequentially, preserving the
+        memory-bounding purpose of gradient accumulation. Closure-style
         optimizers update per batch, which is inherently sequential -> scan.
         """
         n_batches = self.n_batches['train']
@@ -519,7 +527,7 @@ class BaseSolver(ABC, PretrainedSolver):
                 (p, opt_state), (losses, metrics) = jax.lax.scan(body, (p, opt_state), keys)
                 mean_metrics = {k: v.mean() for k, v in metrics.items()}
                 return p, opt_state, losses.mean(), mean_metrics
-        else:
+        elif self._vmap_batches_ok('train'):
             def epoch(p, opt_state, key):
                 keys = jax.random.split(key, n_batches)
 
@@ -533,8 +541,35 @@ class BaseSolver(ABC, PretrainedSolver):
                 p = optax.apply_updates(p, updates)
                 mean_metrics = {k: v.mean() for k, v in metrics.items()}
                 return p, opt_state, losses.mean(), mean_metrics
+        else:
+            def epoch(p, opt_state, key):
+                keys = jax.random.split(key, n_batches)
+
+                def body(acc, k):
+                    cols = sample(k, unravel(p))
+                    (loss, metrics), grads = jax.value_and_grad(
+                        loss_p, has_aux=True)(p, cols)
+                    return jax.tree.map(jnp.add, acc, grads), (loss, metrics)
+
+                zero = jax.tree.map(jnp.zeros_like, p)
+                grads, (losses, metrics) = jax.lax.scan(body, zero, keys)
+                updates, opt_state = optimizer.update(grads, opt_state, p)
+                p = optax.apply_updates(p, updates)
+                mean_metrics = {k: v.mean() for k, v in metrics.items()}
+                return p, opt_state, losses.mean(), mean_metrics
 
         return epoch
+
+    def _vmap_batches_ok(self, phase):
+        """True when the phase's ``n_batches`` passes may run as one vmapped
+        program. vmap holds every pass's activations live at once, so gate on
+        total points per epoch; large epochs keep sequential scan semantics
+        (bounded memory — the reason gradient accumulation exists)."""
+        n = self.n_batches[phase]
+        if n <= 1:
+            return True
+        size = getattr(self.generator[phase], 'size', None)
+        return size is not None and n * size <= _VMAP_EPOCH_POINTS
 
     def _build_valid_epoch_raw(self):
         gen = self.generator['valid']
@@ -542,14 +577,24 @@ class BaseSolver(ABC, PretrainedSolver):
         sample = gen.sample
         unravel = self._unravel
 
-        def epoch(p, key):
-            keys = jax.random.split(key, n_batches)
+        if self._vmap_batches_ok('valid'):
+            def epoch(p, key):
+                keys = jax.random.split(key, n_batches)
 
-            def one(k):
-                return self._loss_and_metrics(unravel(p), sample(k))
+                def one(k):
+                    return self._loss_and_metrics(unravel(p), sample(k))
 
-            losses, metrics = jax.vmap(one)(keys)
-            return losses.mean(), {k: v.mean() for k, v in metrics.items()}
+                losses, metrics = jax.vmap(one)(keys)
+                return losses.mean(), {k: v.mean() for k, v in metrics.items()}
+        else:
+            def epoch(p, key):
+                keys = jax.random.split(key, n_batches)
+
+                def body(carry, k):
+                    return carry, self._loss_and_metrics(unravel(p), sample(k))
+
+                _, (losses, metrics) = jax.lax.scan(body, 0, keys)
+                return losses.mean(), {k: v.mean() for k, v in metrics.items()}
 
         return epoch
 
@@ -825,6 +870,7 @@ class BaseSolver(ABC, PretrainedSolver):
         self._stop_training = False
         self._max_local_epoch = max_epochs
         self.local_epoch = 0
+        self._uncommitted_epochs = 0  # in case a prior fit() errored mid-plan
         # chunk sizes dispatched this fit() call (diagnostics/tests)
         self._fit_chunk_sizes = []
         # speculative-pipeline diagnostics: chunks consumed vs discarded
@@ -873,10 +919,12 @@ class BaseSolver(ABC, PretrainedSolver):
                     # history fetch below — planned against the post-chunk
                     # epoch counters (history itself is not extended yet)
                     if pipeline and not self._stop_training:
-                        self._uncommitted_epochs = n
-                        n_next = (self._plan_chunk(callbacks, max_epochs)
-                                  if self.local_epoch < max_epochs else 0)
-                        self._uncommitted_epochs = 0
+                        try:
+                            self._uncommitted_epochs = n
+                            n_next = (self._plan_chunk(callbacks, max_epochs)
+                                      if self.local_epoch < max_epochs else 0)
+                        finally:
+                            self._uncommitted_epochs = 0
                         if n_next > 1 or (n_next == 1 and not callbacks):
                             pending = {
                                 'n': n_next,

@@ -369,6 +369,7 @@ def test_monitor_callback_background_mode():
 
     class SlowMonitor:
         fig = None
+        using_non_gui_backend = True
 
         def check(self, nets, conditions, history, params=None, solver=None):
             calls.append(len(history['train_loss']))
@@ -398,3 +399,78 @@ def test_monitor_callback_background_mode():
     cb(s)
     assert calls == [1, 3]
     assert cb._worker is None or not cb._worker.is_alive()
+
+
+def test_monitor_callback_background_gui_backend_falls_back():
+    """GUI matplotlib backends must be driven from the main thread: with
+    background=True and a GUI-backend monitor, the draw falls back to
+    synchronous (with a warning) instead of spawning a worker."""
+    from neurodiffeq_tpu.callbacks import MonitorCallback
+
+    seen = []
+
+    class GuiMonitor:
+        fig = None
+        using_non_gui_backend = False
+
+        def check(self, nets, conditions, history, params=None, solver=None):
+            seen.append(solver)
+
+    class FakeSolver:
+        nets = conditions = ()
+        params = []
+        local_epoch = 1
+        global_epoch = 1
+        _max_local_epoch = 10
+        metrics_history = {'train_loss': [1.0]}
+
+        def _expand_params(self, p):
+            return []
+
+    mc = MonitorCallback(GuiMonitor(), background=True)
+    s = FakeSolver()
+    with pytest.warns(UserWarning, match='non-GUI'):
+        mc(s)
+    assert mc._worker is None  # drew synchronously on this thread
+    assert seen == [s]         # sync mode passes the live solver
+
+
+def test_monitor_callback_background_freezes_solver_state():
+    """Background draws must never see live training state: the monitor gets
+    a frozen copy whose metrics_history is the fire-time snapshot."""
+    import threading
+    from neurodiffeq_tpu.callbacks import MonitorCallback
+
+    seen = {}
+    started = threading.Event()
+
+    class SnapMonitor:
+        fig = None
+        using_non_gui_backend = True
+
+        def check(self, nets, conditions, history, params=None, solver=None):
+            seen['solver'] = solver
+            seen['history'] = solver.metrics_history
+            started.set()
+
+    class FakeSolver:
+        nets = conditions = ()
+        params = []
+        local_epoch = 1
+        global_epoch = 1
+        _max_local_epoch = 10
+
+        def _expand_params(self, p):
+            return []
+
+    s = FakeSolver()
+    s.metrics_history = {'train_loss': [1.0]}
+    mc = MonitorCallback(SnapMonitor(), background=True)
+    mc(s)
+    assert started.wait(timeout=5)
+    mc.flush()
+    assert seen['solver'] is not s
+    assert seen['history'] == {'train_loss': [1.0]}
+    # mutations on the live solver after the fire are invisible to the draw
+    s.metrics_history['train_loss'].append(2.0)
+    assert seen['history'] == {'train_loss': [1.0]}

@@ -288,3 +288,54 @@ def test_second_fit_resets_local_epoch():
     solver.fit(4, callbacks=[rec.conditioned_on(cb.OnFirstLocal())], tqdm_file=None)
     assert rec.fired_at == [1]
     assert solver.global_epoch == 8
+
+
+def test_plan_error_resets_uncommitted_epochs():
+    """An exception raised inside speculative planning (e.g. a user hint that
+    blows up) must not leave _uncommitted_epochs inflated — global_epoch
+    would be permanently wrong for every later callback/checkpoint."""
+    solver = make_solver()
+
+    class _ExplodingHint(cb.ActionCallback):
+        def __init__(self):
+            super().__init__()
+            self.calls = 0
+
+        def next_fire_epoch(self, solver):
+            self.calls += 1
+            if self.calls > 1:
+                raise RuntimeError('boom')
+            return 5
+
+        def __call__(self, solver):
+            pass
+
+    with pytest.raises(RuntimeError, match='boom'):
+        solver.fit(max_epochs=20, callbacks=[_ExplodingHint()], tqdm_file=None)
+    assert solver._uncommitted_epochs == 0
+    assert solver.global_epoch == len(solver.metrics_history['train_loss'])
+    # a fresh fit() must start clean even if state had leaked
+    solver.fit(max_epochs=3, tqdm_file=None)
+    assert solver.global_epoch == len(solver.metrics_history['train_loss'])
+
+
+def test_vmap_batch_passes_fall_back_to_scan(monkeypatch):
+    """Above _VMAP_EPOCH_POINTS total points/epoch the batch passes must run
+    as a sequential (memory-bounded) scan; results match the vmapped path."""
+    import numpy as np
+    from neurodiffeq_tpu import solvers as solvers_mod
+    from neurodiffeq_tpu.utils import set_seed
+
+    def run(threshold):
+        monkeypatch.setattr(solvers_mod, '_VMAP_EPOCH_POINTS', threshold)
+        set_seed(7)
+        s = make_solver(n_batches_train=3, n_batches_valid=2)
+        assert s._vmap_batches_ok('train') == (threshold > 3 * 32)
+        s.fit(max_epochs=3, tqdm_file=None)
+        return (s.metrics_history['train_loss'],
+                s.metrics_history['valid_loss'])
+
+    tl_vmap, vl_vmap = run(1 << 30)
+    tl_scan, vl_scan = run(1)
+    assert np.allclose(tl_vmap, tl_scan, rtol=1e-9)
+    assert np.allclose(vl_vmap, vl_scan, rtol=1e-9)

@@ -173,3 +173,24 @@ def test_adaptive_generator_repr_and_dill():
     import jax
     out = g2.sample_scored(jax.random.PRNGKey(0), lambda cand: cand[0])
     assert np.asarray(out).shape == (16,)
+
+
+def test_enforce_jit_cache_bounded(monkeypatch):
+    """The per-(net, cond, shape) jit cache must be LRU-bounded: each entry
+    strong-refs a compiled executable, so an unbounded dict leaks across
+    long hyperparameter sweeps."""
+    import jax
+    from neurodiffeq_tpu import monitors as mon
+
+    monkeypatch.setattr(mon, '_ENFORCE_JIT_CACHE_MAX', 2)
+    mon._ENFORCE_JIT_CACHE.clear()
+    net = FCNN(n_input_units=1, n_output_units=1, hidden_units=(4,))
+    params = net.init(jax.random.PRNGKey(0))
+    cond = NoCondition()
+    for n in (3, 4, 5):
+        out = mon._enforce_np(net, params, cond, np.linspace(0, 1, n))
+        assert out.shape[0] == n
+    assert len(mon._ENFORCE_JIT_CACHE) == 2
+    # re-hitting a cached shape must not grow the cache
+    mon._enforce_np(net, params, cond, np.linspace(0, 1, 5))
+    assert len(mon._ENFORCE_JIT_CACHE) == 2
