@@ -334,6 +334,24 @@ class BaseSolver(ABC, PretrainedSolver):
             self.opt_state = self.optimizer.init(self._ravel(self.params))
         self._invalidate_compiled()
 
+    def set_generator(self, generator, phase='train'):
+        """Hot-swap a collocation generator between ``fit()`` calls.
+
+        The reference exposes ``solver.generator`` as a plain mutable dict
+        (``solvers.py:188-191``); here the swap must also rewrap with
+        :class:`~neurodiffeq_tpu.generators.SamplerGenerator` and invalidate
+        the compiled epoch programs, so it goes through this method. Typical
+        use: freeze a :class:`StaticGenerator` sample for an L-BFGS polish
+        phase after stochastic Adam training.
+
+        :param generator: the new generator for the phase.
+        :param phase: ``'train'`` or ``'valid'``.
+        """
+        if phase not in self.generator:
+            raise ValueError(f"phase must be one of {list(self.generator)}, got {phase!r}")
+        self.generator[phase] = SamplerGenerator(generator)
+        self._invalidate_compiled()
+
     def _invalidate_compiled(self):
         self._compiled = {}
 

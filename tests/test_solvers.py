@@ -223,6 +223,42 @@ def test_lbfgs_warns_without_validation():
         exp_decay_solver(optimizer=optax.lbfgs(), n_batches_valid=0)
 
 
+def test_set_generator_swaps_and_invalidates():
+    from neurodiffeq_tpu.generators import StaticGenerator
+
+    solver = exp_decay_solver()
+    solver.fit(max_epochs=2, tqdm_file=None)
+    assert solver._compiled  # epoch program cached from the first fit
+    frozen = StaticGenerator(Generator1D(16, 0.0, 2.0, method='uniform'))
+    solver.set_generator(frozen, phase='train')
+    assert solver._compiled == {}  # swap must drop stale compiled epochs
+    solver.fit(max_epochs=2, tqdm_file=None)
+    assert solver.global_epoch == 4
+    # the swapped-in frozen draw is what training now samples
+    pts = solver.generator['train'].get_examples()
+    pts = pts[0] if isinstance(pts, (tuple, list)) else pts
+    assert np.allclose(np.sort(np.asarray(pts).ravel()),
+                       np.sort(np.asarray(frozen.examples).ravel()))
+    with pytest.raises(ValueError):
+        solver.set_generator(frozen, phase='test')
+
+
+def test_adam_then_lbfgs_polish_workflow():
+    """The standard PINN recipe: stochastic Adam, then full-batch L-BFGS on a
+    frozen dense draw (exercises set_generator + set_optimizer together)."""
+    from neurodiffeq_tpu.generators import StaticGenerator
+
+    solver = exp_decay_solver(n_batches_valid=1)
+    solver.fit(max_epochs=60, tqdm_file=None)
+    solver.set_generator(StaticGenerator(Generator1D(64, 0.0, 2.0)), phase='train')
+    solver.set_optimizer(optax.lbfgs())
+    assert solver._closure_style
+    solver.fit(max_epochs=40, tqdm_file=None)
+    ts = np.linspace(0, 2, 50)
+    err = np.abs(np.asarray(solver.get_solution()(ts)) - np.exp(-ts)).max()
+    assert err < 5e-2, f"max error {err}"
+
+
 def test_get_internals():
     solver = exp_decay_solver()
     solver.fit(max_epochs=1, tqdm_file=None)
