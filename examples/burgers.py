@@ -82,7 +82,10 @@ def build(sampling='adaptive', n_points=2048):
                                               strategy='power', alpha=1.0, c=1.0)
     else:
         train_gen = base
-    net = FCNN(n_input_units=2, hidden_units=(64, 64, 64))
+    # Raissi et al.'s 8x20 tanh: depth resolves the sharp layer better than
+    # width — measured vs (64, 64, 64): Adam train loss 1.9e-2 vs 4.8e-2,
+    # post-polish loss 6.5e-3 vs 1.2e-2, mean err 0.0126 vs 0.0141.
+    net = FCNN(n_input_units=2, hidden_units=(20,) * 8)
     return Solver2D(
         pde_system=eq, conditions=[cond],
         xy_min=(-1.0, 0.0), xy_max=(1.0, 1.0),
@@ -93,18 +96,38 @@ def build(sampling='adaptive', n_points=2048):
 
 
 def polish_lbfgs(solver, epochs=500, n_points=8192):
-    """Full-batch L-BFGS fine-tune on a frozen dense point set.
+    """Full-batch L-BFGS fine-tune on a frozen UNIFORM point set.
 
     The standard PINN recipe (Adam explores, L-BFGS polishes): freeze one
-    dense uniform draw with StaticGenerator (reference generators.py:691-714)
-    so every L-BFGS step sees the same deterministic objective, and hot-swap
-    optax.lbfgs via the solver's closure-style optimizer path."""
-    import optax
-    from neurodiffeq_tpu.generators import StaticGenerator
+    dense uniform draw so every L-BFGS step sees the same deterministic
+    objective, and hot-swap the draw + optax.lbfgs via
+    ``set_generator``/``set_optimizer`` (the closure-style optimizer path).
 
-    dense = (Generator1D(n_points, -1.0, 1.0, method='uniform')
-             * Generator1D(n_points, 0.0, 1.0, method='uniform'))
-    solver.set_generator(StaticGenerator(dense), phase='train')
+    Measured (examples/README.md): shock-concentrated frozen draws make the
+    polish WORSE, monotonically in concentration — uniform reaches mean err
+    0.014 (L-BFGS loss 1.9e-2 -> 1.2e-2); RAD-weighted (|r|/mean|r| + 1,
+    Wu et al. 2023) stalls at loss 4e-2 with max err degraded 0.263 -> 0.299;
+    greedy top-half-by-residual degrades both. A frozen objective dominated
+    by the irreducible O(nu) shock residual polishes the shock at the
+    expense of everywhere else, so residual-adaptive selection belongs in
+    the stochastic Adam phase (where it does win — see README table), NOT
+    in the deterministic polish. Set ``BURGERS_POLISH_DRAW=rad`` to rerun
+    that A/B arm."""
+    import optax
+    from neurodiffeq_tpu.generators import PredefinedGenerator
+
+    rng = np.random.default_rng(1)
+    cand_x = rng.uniform(-1.0, 1.0, size=8 * n_points)
+    cand_t = rng.uniform(0.0, 1.0, size=8 * n_points)
+    if os.environ.get('BURGERS_POLISH_DRAW', 'uniform') == 'rad':
+        score = np.abs(solver.get_residuals(cand_x, cand_t, to_numpy=True,
+                                            best=False))
+        p = score / score.mean() + 1.0
+    else:  # uniform frozen draw (measured default)
+        p = np.ones_like(cand_x)
+    idx = rng.choice(len(p), size=n_points, p=p / p.sum())
+    solver.set_generator(PredefinedGenerator(cand_x[idx], cand_t[idx]),
+                         phase='train')
     solver.set_optimizer(optax.lbfgs())
     solver.fit(max_epochs=epochs, tqdm_file=None)
 
@@ -133,12 +156,17 @@ def main():
     mx, mean = evaluate(solver)
     print(f'{sampling}: {epochs} Adam epochs in {dt:.1f}s '
           f'({epochs / dt:.0f} eps) | max err {mx:.4f} mean err {mean:.5f}')
+    tl = solver.metrics_history['train_loss']
+    print(f'  adam train loss: {tl[0]:.3e} -> {tl[-1]:.3e}')
     if polish:
         t0 = time.time()
         polish_lbfgs(solver, epochs=polish)
         mx, mean = evaluate(solver)
+        tl = solver.metrics_history['train_loss'][-polish:]
         print(f'+ L-BFGS x{polish} ({time.time() - t0:.1f}s): '
               f'max err {mx:.4f} mean err {mean:.5f}')
+        print(f'  lbfgs train loss: {tl[0]:.3e} -> min {min(tl):.3e} '
+              f'-> last {tl[-1]:.3e}')
 
 
 if __name__ == '__main__':
