@@ -20,12 +20,17 @@ from scipy.special import legendre
 
 from .fields import Field, cat, diff
 from .fields import sin as fsin, cos as fcos
+from ._version_utils import warn_deprecate_class
 
 __all__ = [
     'LegendrePolynomial', 'LegendreBasis', 'CustomBasis', 'ZonalSphericalHarmonics',
     'ZonalSphericalHarmonicsLaplacian', 'RealFourierSeries', 'FourierLaplacian',
     'RealSphericalHarmonics', 'HarmonicsLaplacian',
     'FunctionBasis', 'BasisOperator',
+    'ZeroOrderSphericalHarmonics', 'ZeroOrderSphericalHarmonicsLaplacian',
+] + [  # the reference's 25 module-level harmonics (function_basis.py:200-232)
+    f'Y{l}_0' if m == 0 else f'Y{l}{"n" if m < 0 else "p"}{abs(m)}'
+    for l in range(5) for m in range(-l, l + 1)
 ]
 
 
@@ -140,6 +145,11 @@ class ZonalSphericalHarmonicsLaplacian(BasisOperator):
         angular_components = self.laplacian_coefficients * base_coeffs / r ** 2
         products = (radial_components + angular_components) * self.harmonics_fn(theta, phi)
         return products.sum(axis=1, keepdims=True)
+
+
+# deprecated aliases kept for reference parity (reference ``function_basis.py:89,118``)
+ZeroOrderSphericalHarmonics = warn_deprecate_class(ZonalSphericalHarmonics)
+ZeroOrderSphericalHarmonicsLaplacian = warn_deprecate_class(ZonalSphericalHarmonicsLaplacian)
 
 
 class RealFourierSeries(FunctionBasis):
@@ -263,6 +273,21 @@ class RealSphericalHarmonics(FunctionBasis):
         :param phi: azimuthal angles, (N, 1) Field (or array).
         :return: basis values, (N, (max_degree+1)^2)."""
         return self.basis_module(theta, phi)
+
+
+def _y_name(l, m):
+    return f'Y{l}_0' if m == 0 else f'Y{l}{"n" if m < 0 else "p"}{abs(m)}'
+
+
+# Module-level per-(l, m) real spherical harmonics Y0_0 ... Y4p4. The reference
+# hardcodes these as 25 torch lambdas (``function_basis.py:200-232``); here each
+# is generated from the same closed-form associated-Legendre machinery that
+# powers :class:`RealSphericalHarmonics`, with the identical normalization
+# convention (no ``sqrt(1/pi)`` factor).
+for _l in range(5):
+    for _m in range(-_l, _l + 1):
+        globals()[_y_name(_l, _m)] = RealSphericalHarmonics._make_fn(_l, _m)
+del _l, _m
 
 
 class HarmonicsLaplacian(BasisOperator):

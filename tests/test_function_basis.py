@@ -154,3 +154,52 @@ def test_zonal_harmonics_laplacian_matches_direct_laplacian():
     lap_direct = spherical_laplacian(u, rf, thf, phf)
 
     assert np.allclose(lap_basis.value, lap_direct.value, atol=1e-6)
+
+
+def test_module_level_Y_names_match_closed_forms():
+    """The 25 module-level Y0_0..Y4p4 (reference function_basis.py:200-232)
+    exist and match the reference's published closed forms (Wikipedia real
+    harmonics table, normalization without the sqrt(1/pi) factor)."""
+    th = np.random.rand(N) * np.pi
+    ph = np.random.rand(N) * 2 * np.pi
+    s, c = np.sin(th), np.cos(th)
+    closed_forms = {
+        'Y0_0': np.ones_like(th) * 0.5,
+        'Y1n1': s * np.sin(ph) * 0.866025404,
+        'Y1_0': c * 0.866025404,
+        'Y1p1': s * np.cos(ph) * 0.866025404,
+        'Y2n2': s ** 2 * np.sin(ph) * np.cos(ph) * 1.936491673,
+        'Y2n1': s * c * np.sin(ph) * 1.936491673,
+        'Y2_0': (2 * c ** 2 - s ** 2) * 0.559016994,
+        'Y2p1': s * c * np.cos(ph) * 1.936491673,
+        'Y2p2': s ** 2 * np.cos(2 * ph) * 0.968245837,
+        'Y3_0': (2 * c ** 3 - 3 * c * s ** 2) * 0.661437828,
+        'Y4_0': (35 * c ** 4 - 30 * c ** 2 + 3) * 0.1875,
+        'Y4p4': s ** 4 * (np.cos(ph) ** 4 - 6 * np.cos(ph) ** 2 * np.sin(ph) ** 2
+                          + np.sin(ph) ** 4) * 1.109264959,
+    }
+    for name, expected in closed_forms.items():
+        got = np.asarray(getattr(fb, name)(th, ph))
+        assert np.allclose(got, expected, atol=1e-6), name
+    # all 25 names exist and agree column-by-column with RealSphericalHarmonics
+    basis = fb.RealSphericalHarmonics(max_degree=4)
+    thf, phf = F.coordinates(th, ph)
+    cols = np.asarray(basis(thf, phf).value)
+    i = 0
+    for l in range(5):
+        for m in range(-l, l + 1):
+            name = f'Y{l}_0' if m == 0 else f'Y{l}{"n" if m < 0 else "p"}{abs(m)}'
+            assert np.allclose(np.asarray(getattr(fb, name)(th, ph)).ravel(),
+                               cols[:, i], atol=1e-6), name
+            i += 1
+
+
+def test_zero_order_harmonics_deprecated_aliases():
+    """ZeroOrderSphericalHarmonics(Laplacian) warn and alias the Zonal classes
+    (reference function_basis.py:89,118)."""
+    with pytest.warns(FutureWarning):
+        obj = fb.ZeroOrderSphericalHarmonics(max_degree=2)
+    assert isinstance(obj, fb.ZonalSphericalHarmonics)
+    with pytest.warns(FutureWarning):
+        obj = fb.ZeroOrderSphericalHarmonicsLaplacian(max_degree=2)
+    assert isinstance(obj, fb.ZonalSphericalHarmonicsLaplacian)
