@@ -14,6 +14,9 @@ the reference (``NEURODIFF_API_URL``, ``NEURODIFF_API_KEY``;
 """
 import os
 import ast
+import json
+import types
+import decimal
 import inspect
 
 import numpy as np
@@ -27,6 +30,11 @@ except Exception:  # pragma: no cover
 
 DEFAULT_API_URL = "https://dev.neurodiff.io/v1/" if os.getenv("DEV") else "https://api.neurodiff.io/v1/"
 
+# module-level constants mirroring the reference's import-time env lookups
+# (``solvers_utils.py:17-29``); ``_get_api_url`` below stays the live lookup
+DEV = bool(os.environ.get("DEV"))
+NEURODIFF_API_URL = os.getenv("NEURODIFF_API_URL", DEFAULT_API_URL)
+
 
 def _get_api_url():
     return os.getenv("NEURODIFF_API_URL", DEFAULT_API_URL)
@@ -34,6 +42,103 @@ def _get_api_url():
 
 def _get_api_key():
     return os.getenv("NEURODIFF_API_KEY")
+
+
+def is_solution_name(name):
+    """True if ``name`` refers to a remote hub solution rather than a local
+    path (reference ``solvers_utils.py:32-37``: anything not starting with
+    ``./`` is treated as a hub name)."""
+    return not name.startswith('./')
+
+
+def process_response(response):
+    """Decode an HTTP response from the hub (reference
+    ``solvers_utils.py:39-45``)."""
+    return response.json()
+
+
+def create_cache_dir():
+    """Create (if needed) and return the ``~/.neurodiff`` download cache
+    directory (reference ``solvers_utils.py:60-66``)."""
+    cache_dir = os.path.join(os.path.expanduser('~'), '.neurodiff')
+    os.makedirs(cache_dir, exist_ok=True)
+    return cache_dir
+
+
+def get_parameters(lambda_function):
+    """Names/values a user equation captured: closure cells if any, otherwise
+    non-framework globals it references (reference ``solvers_utils.py:99-117``,
+    which excludes ``diff``/``torch``; the framework names here are the JAX
+    analogs)."""
+    parameters = {}
+    try:
+        closures = lambda_function.__closure__
+        if closures is not None:
+            for name, cell in zip(lambda_function.__code__.co_freevars, closures):
+                parameters[name] = cell.cell_contents
+        else:
+            gbs = lambda_function.__globals__
+            for name in lambda_function.__code__.co_names:
+                if name not in ('diff', 'jax', 'jnp', 'np', 'F') and name in gbs:
+                    parameters[name] = gbs[name]
+    except Exception:
+        pass
+    return parameters
+
+
+def get_conditions(conditions):
+    """Serializable per-condition metadata dicts: instance attributes plus
+    ``condition_type``, with captured callables stringified to source
+    (reference ``solvers_utils.py:119-136``)."""
+    condition_list = []
+    for condition in conditions:
+        cond_dict = dict(condition.__dict__)
+        cond_dict["condition_type"] = type(condition).__name__
+        for key, value in cond_dict.items():
+            if isinstance(value, types.FunctionType):
+                source = get_source(value)
+                if source:
+                    cond_dict[key] = source
+        condition_list.append(cond_dict)
+    return condition_list
+
+
+def get_generator(generator):
+    """Introspectable config of the train generator: unwrap the solver's
+    ``SamplerGenerator`` and keep the plain-data attributes (reference
+    ``solvers_utils.py:139-154``, which drops cached samples and getters)."""
+    try:
+        gen = generator['train'].generator
+    except (AttributeError, KeyError, TypeError):
+        return {}
+    return {
+        k: v for k, v in gen.__dict__.items()
+        if not callable(v) and k not in ('examples', 'grid_x', 'grid_y')
+    }
+
+
+class JsonEncoder(json.JSONEncoder):
+    """JSON encoder for numpy/JAX scalars and arrays (reference
+    ``solvers_utils.py:156-167``, extended to ``jax.Array``)."""
+
+    def default(self, obj):
+        if isinstance(obj, np.integer):
+            return int(obj)
+        if isinstance(obj, np.floating):
+            return float(obj)
+        if isinstance(obj, decimal.Decimal):
+            return float(obj)
+        if isinstance(obj, (np.ndarray, jax.Array)):
+            return np.asarray(obj).tolist()
+        return super().default(obj)
+
+
+def get_loss(loss):
+    """Serializable representation of a loss spec: registry names pass
+    through, callables stringify to source. (The reference's ``get_loss``,
+    ``solvers_utils.py:248-256``, is a commented-out stub that would raise
+    ``NameError`` if its try body ran; this is the working equivalent.)"""
+    return loss if isinstance(loss, str) else get_source(loss)
 
 
 def get_source(obj):
@@ -116,6 +221,25 @@ def get_sample_solution(solver):
     except Exception:
         return []
     return None
+
+
+def get_sample_solution1D(solver):
+    """Sample solution curves of a ``Solver1D`` (reference
+    ``solvers_utils.py:170-189``); delegates to :func:`get_sample_solution`."""
+    return get_sample_solution(solver)
+
+
+def get_sample_solution2D(solver):
+    """Sample solution surface of a ``Solver2D`` (reference
+    ``solvers_utils.py:190-204``); delegates to :func:`get_sample_solution`."""
+    return get_sample_solution(solver)
+
+
+def get_sample_solutionBundle1D(solver):
+    """Sample solution curves of a ``BundleSolver1D`` at a random bundle
+    point (reference ``solvers_utils.py:206-224``); delegates to
+    :func:`get_sample_solution`."""
+    return get_sample_solution(solver)
 
 
 def _diff_equation_details(solver):

@@ -335,3 +335,53 @@ def test_save_load_preserves_residual_weights_and_adaptive_generator(tmp_path):
     assert np.isclose(float(l0), float(l1), rtol=1e-12)
     loaded.fit(max_epochs=5, tqdm_file=None)
     assert loaded.global_epoch == 25
+
+
+def test_reference_parity_helpers():
+    """Module-level helpers matching the reference's solvers_utils surface
+    (is_solution_name/process_response/create_cache_dir/get_parameters/
+    get_conditions/get_generator/JsonEncoder/get_loss/get_sample_solution*,
+    reference solvers_utils.py:32-256)."""
+    import json
+    import jax.numpy as jnp
+    from neurodiffeq_tpu import solvers_utils as su
+
+    assert su.is_solution_name('user/lotka-volterra')
+    assert not su.is_solution_name('./local.ndq')
+
+    class FakeResponse:
+        def json(self):
+            return {'ok': 1}
+    assert su.process_response(FakeResponse()) == {'ok': 1}
+
+    d = su.create_cache_dir()
+    assert d.endswith('.neurodiff') and __import__('os').path.isdir(d)
+
+    lam = 0.5
+    eq = lambda u, t: [diff(u, t) + lam * u]
+    params = su.get_parameters(eq)
+    assert params == {'diff': diff, 'lam': 0.5} or params == {'lam': 0.5}
+
+    conds = su.get_conditions([IVP(t_0=0.0, u_0=1.0)])
+    assert conds[0]['condition_type'] == 'IVP'
+    assert conds[0]['t_0'] == 0.0
+
+    solver = Solver1D(ode_system=_ode, conditions=[IVP(t_0=0.0, u_0=1.0)],
+                      t_min=0.0, t_max=2.0)
+    gen_meta = su.get_generator(solver.generator)
+    assert gen_meta.get('size') == 32
+    assert not any(callable(v) for v in gen_meta.values())
+
+    enc = json.dumps({'a': np.int32(3), 'b': np.float64(1.5),
+                      'c': np.arange(3), 'd': jnp.ones(2)}, cls=su.JsonEncoder)
+    assert json.loads(enc) == {'a': 3, 'b': 1.5, 'c': [0, 1, 2], 'd': [1.0, 1.0]}
+
+    assert su.get_loss('l2') == 'l2'
+    assert 'lambda' in (su.get_loss(lambda r, f, x: r) or '')
+
+    solver.fit(max_epochs=2, tqdm_file=None)
+    xs, us = su.get_sample_solution1D(solver)
+    assert len(xs) == len(us[0]) > 0
+
+    assert isinstance(su.DEV, bool)
+    assert su.NEURODIFF_API_URL.startswith('http')
