@@ -125,7 +125,7 @@ def polish_lbfgs(solver, epochs=500, n_points=8192):
         p = score / score.mean() + 1.0
     else:  # uniform frozen draw (measured default)
         p = np.ones_like(cand_x)
-    idx = rng.choice(len(p), size=n_points, p=p / p.sum())
+    idx = rng.choice(len(p), size=n_points, replace=False, p=p / p.sum())
     solver.set_generator(PredefinedGenerator(cand_x[idx], cand_t[idx]),
                          phase='train')
     solver.set_optimizer(optax.lbfgs())

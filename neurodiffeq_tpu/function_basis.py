@@ -22,6 +22,12 @@ from .fields import Field, cat, diff
 from .fields import sin as fsin, cos as fcos
 from ._version_utils import warn_deprecate_class
 
+
+def _y_name(l, m):
+    """Reference naming for the module-level harmonics: Y2_0, Y2n1, Y2p1, ..."""
+    return f'Y{l}_0' if m == 0 else f'Y{l}{"n" if m < 0 else "p"}{abs(m)}'
+
+
 __all__ = [
     'LegendrePolynomial', 'LegendreBasis', 'CustomBasis', 'ZonalSphericalHarmonics',
     'ZonalSphericalHarmonicsLaplacian', 'RealFourierSeries', 'FourierLaplacian',
@@ -29,8 +35,7 @@ __all__ = [
     'FunctionBasis', 'BasisOperator',
     'ZeroOrderSphericalHarmonics', 'ZeroOrderSphericalHarmonicsLaplacian',
 ] + [  # the reference's 25 module-level harmonics (function_basis.py:200-232)
-    f'Y{l}_0' if m == 0 else f'Y{l}{"n" if m < 0 else "p"}{abs(m)}'
-    for l in range(5) for m in range(-l, l + 1)
+    _y_name(l, m) for l in range(5) for m in range(-l, l + 1)
 ]
 
 
@@ -273,10 +278,6 @@ class RealSphericalHarmonics(FunctionBasis):
         :param phi: azimuthal angles, (N, 1) Field (or array).
         :return: basis values, (N, (max_degree+1)^2)."""
         return self.basis_module(theta, phi)
-
-
-def _y_name(l, m):
-    return f'Y{l}_0' if m == 0 else f'Y{l}{"n" if m < 0 else "p"}{abs(m)}'
 
 
 # Module-level per-(l, m) real spherical harmonics Y0_0 ... Y4p4. The reference

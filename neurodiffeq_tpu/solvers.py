@@ -349,6 +349,14 @@ class BaseSolver(ABC, PretrainedSolver):
         """
         if phase not in self.generator:
             raise ValueError(f"phase must be one of {list(self.generator)}, got {phase!r}")
+        from .generators import contains_buried_adaptive
+        if phase == 'train' and contains_buried_adaptive(generator):
+            warnings.warn(
+                "A ResidualAdaptiveGenerator is nested inside a combinator "
+                "(e.g. Concat/Ensemble/Mesh/Transform); only the OUTERMOST "
+                "train generator's adaptive selection is honored, so this "
+                "solver will train WITHOUT adaptive sampling. Wrap the whole "
+                "combined generator instead: ResidualAdaptiveGenerator(g1 + g2).")
         self.generator[phase] = SamplerGenerator(generator)
         self._invalidate_compiled()
 

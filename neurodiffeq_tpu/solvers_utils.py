@@ -67,19 +67,25 @@ def create_cache_dir():
 
 def get_parameters(lambda_function):
     """Names/values a user equation captured: closure cells if any, otherwise
-    non-framework globals it references (reference ``solvers_utils.py:99-117``,
-    which excludes ``diff``/``torch``; the framework names here are the JAX
-    analogs)."""
+    globals it references (reference ``solvers_utils.py:99-117``). The
+    reference excludes framework machinery by name (``diff``/``torch``); here
+    anything callable or a module is excluded by value, which also covers
+    aliased imports, so the result is hub-serializable data only."""
+    def is_param(value):
+        # captured *parameters*, not captured framework machinery
+        return not (callable(value) or isinstance(value, types.ModuleType))
+
     parameters = {}
     try:
         closures = lambda_function.__closure__
         if closures is not None:
             for name, cell in zip(lambda_function.__code__.co_freevars, closures):
-                parameters[name] = cell.cell_contents
+                if is_param(cell.cell_contents):
+                    parameters[name] = cell.cell_contents
         else:
             gbs = lambda_function.__globals__
             for name in lambda_function.__code__.co_names:
-                if name not in ('diff', 'jax', 'jnp', 'np', 'F') and name in gbs:
+                if name in gbs and is_param(gbs[name]):
                     parameters[name] = gbs[name]
     except Exception:
         pass
@@ -111,10 +117,16 @@ def get_generator(generator):
         gen = generator['train'].generator
     except (AttributeError, KeyError, TypeError):
         return {}
-    return {
-        k: v for k, v in gen.__dict__.items()
-        if not callable(v) and k not in ('examples', 'grid_x', 'grid_y')
-    }
+    out = {}
+    for k, v in gen.__dict__.items():
+        if callable(v) or k in ('examples', 'grid_x', 'grid_y'):
+            continue
+        try:
+            json.dumps(v, cls=JsonEncoder)
+            out[k] = v
+        except TypeError:
+            out[k] = repr(v)  # e.g. a nested sub-generator
+    return out
 
 
 class JsonEncoder(json.JSONEncoder):
@@ -245,14 +257,13 @@ def get_sample_solutionBundle1D(solver):
 def _diff_equation_details(solver):
     """The reference's introspected metadata block
     (``solvers_utils.py:307-321``), consumed by the hub UI."""
-    loss_fn = solver.loss_fn
     return {
         "equation": get_source(solver.diff_eqs),
         "conditions": [type(c).__name__ for c in solver.conditions],
         "generator": {k: repr(g) for k, g in solver.generator.items()},
         "sample_solution": get_sample_solution(solver),
         "sample_loss": list(solver.metrics_history.get('valid_loss', [])),
-        "loss_fn": loss_fn if isinstance(loss_fn, str) else get_source(loss_fn),
+        "loss_fn": get_loss(solver.loss_fn),
         "networks": get_networks(solver),
         "optimizer": {"name": type(solver.optimizer).__name__},
     }

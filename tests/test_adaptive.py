@@ -213,3 +213,20 @@ def test_buried_adaptive_generator_warns():
         Solver1D(ode_system=lambda u, t: [diff(u, t) + u], conditions=[IVP(0, 1)],
                  t_min=0.0, t_max=1.0,
                  train_generator=ResidualAdaptiveGenerator(base, oversample=2))
+
+
+def test_buried_adaptive_warns_on_set_generator_too():
+    """The hot-swap path must give the same buried-adaptive warning as the
+    constructor (review finding: it was silent)."""
+    base = Generator1D(16, 0.0, 1.0, method='uniform')
+    solver = Solver1D(ode_system=lambda u, t: [diff(u, t) + u], conditions=[IVP(0, 1)],
+                      t_min=0.0, t_max=1.0)
+    buried = ResidualAdaptiveGenerator(base, oversample=2) + Generator1D(16, 0.0, 1.0)
+    with pytest.warns(UserWarning, match='OUTERMOST'):
+        solver.set_generator(buried, phase='train')
+    # valid phase never runs adaptive selection: swapping there stays silent
+    import warnings as w
+    with w.catch_warnings():
+        w.simplefilter('error', UserWarning)
+        solver.set_generator(Generator1D(16, 0.0, 1.0), phase='valid')
+        solver.set_generator(ResidualAdaptiveGenerator(base, oversample=2), phase='train')

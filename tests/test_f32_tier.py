@@ -40,11 +40,15 @@ def f32_defaults():
     ``jax_enable_x64`` must go off too — with it on, ``get_default_dtype``
     deliberately promotes the f32 default to f64 (the main suite's contract).
     """
+    had_x64 = jax.config.jax_enable_x64
     jax.config.update('jax_enable_x64', False)
     set_tensor_type(float_bits=32)
     set_seed(42)
     yield
-    set_tensor_type(float_bits=64)  # re-enables x64
+    # restore what the surrounding run had (f64 on the CPU suite; f32 when the
+    # whole session runs at the accelerator default) rather than hardcoding f64
+    if had_x64:
+        set_tensor_type(float_bits=64)  # re-enables x64
 
 
 def _net(n_in, n_out=1, seed=0):

@@ -359,8 +359,9 @@ def test_reference_parity_helpers():
 
     lam = 0.5
     eq = lambda u, t: [diff(u, t) + lam * u]
-    params = su.get_parameters(eq)
-    assert params == {'diff': diff, 'lam': 0.5} or params == {'lam': 0.5}
+    # captured framework callables (diff) are excluded by value, so the result
+    # is hub-serializable parameter data only
+    assert su.get_parameters(eq) == {'lam': 0.5}
 
     conds = su.get_conditions([IVP(t_0=0.0, u_0=1.0)])
     assert conds[0]['condition_type'] == 'IVP'
@@ -371,6 +372,17 @@ def test_reference_parity_helpers():
     gen_meta = su.get_generator(solver.generator)
     assert gen_meta.get('size') == 32
     assert not any(callable(v) for v in gen_meta.values())
+
+    # wrapped/combined train generators must still yield JSON-serializable
+    # metadata (nested sub-generators are stringified)
+    from neurodiffeq_tpu.generators import Generator1D, ResidualAdaptiveGenerator
+    adaptive = Solver1D(ode_system=_ode, conditions=[IVP(t_0=0.0, u_0=1.0)],
+                        t_min=0.0, t_max=2.0,
+                        train_generator=ResidualAdaptiveGenerator(
+                            Generator1D(16, 0.0, 2.0), oversample=4))
+    meta = su.get_generator(adaptive.generator)
+    json.dumps(meta, cls=su.JsonEncoder)
+    assert 'Generator1D' in meta['generator']
 
     enc = json.dumps({'a': np.int32(3), 'b': np.float64(1.5),
                       'c': np.arange(3), 'd': jnp.ones(2)}, cls=su.JsonEncoder)
