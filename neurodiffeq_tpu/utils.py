@@ -23,20 +23,32 @@ _DEFAULT_DTYPE = jnp.float32
 
 
 class _KeyStore:
-    """A splittable global PRNG key used by stateful convenience APIs."""
+    """A splittable global PRNG key used by stateful convenience APIs.
+
+    The key is materialized lazily: constructing ``jax.random.PRNGKey`` forces
+    JAX backend initialization, and doing that at module import would make
+    ``import neurodiffeq_tpu`` require (and block on) an accelerator runtime
+    even for pure-host uses (docs builds, introspection, pickling helpers).
+    ``seed()`` therefore only records the seed; the first ``next_key()`` pays
+    the backend init.
+    """
 
     def __init__(self, seed=0):
-        self._key = jax.random.PRNGKey(seed)
+        self._seed = seed
+        self._key = None
 
     def seed(self, n):
-        self._key = jax.random.PRNGKey(n)
+        self._seed = n
+        self._key = None
 
     def next_key(self):
+        if self._key is None:
+            self._key = jax.random.PRNGKey(self._seed)
         self._key, sub = jax.random.split(self._key)
         return sub
 
 
-GLOBAL_KEYS = _KeyStore(seed=np.random.SeedSequence().entropy % (2 ** 31) if False else 0)
+GLOBAL_KEYS = _KeyStore(seed=0)
 
 
 def next_rng_key():

@@ -77,3 +77,29 @@ def test_warn_deprecate_class():
     with pytest.warns(FutureWarning):
         obj = Old(5)
     assert isinstance(obj, New) and obj.a == 5
+
+
+def test_import_does_not_initialize_backend():
+    """Importing the package must never force JAX backend initialization.
+
+    Backend init can block on accelerator runtimes (e.g. a remote TPU tunnel),
+    so a module-level ``PRNGKey``/``jnp.array`` would make ``import
+    neurodiffeq_tpu`` hang in device-less contexts (docs builds, CI collect).
+    The global key store materializes its key lazily instead.
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import jax._src.xla_bridge as xb\n"
+        "def boom(*a, **k): raise RuntimeError('backend init during import')\n"
+        "xb.backends = boom\n"
+        "import neurodiffeq_tpu\n"
+        "print('clean-import')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, '-c', code], capture_output=True, text=True, timeout=300,
+        env={**__import__('os').environ, 'JAX_PLATFORMS': 'cpu'},
+    )
+    assert out.returncode == 0, out.stderr
+    assert 'clean-import' in out.stdout
