@@ -85,6 +85,11 @@ class BaseCallback(ABC, _LoggerMixin):
 class ActionCallback(BaseCallback):
     r"""Base class of action callbacks (callbacks that *do* something)."""
 
+    def flush(self):
+        """Wait for any asynchronous work this callback started (no-op here;
+        ``MonitorCallback(background=True)`` overrides). ``fit()`` calls this
+        on every callback before returning so no worker outlives training."""
+
     def conditioned_on(self, condition_callback):
         if not isinstance(condition_callback, ConditionCallback):
             raise TypeError(f'{condition_callback} is not an instance of ConditionCallback')
@@ -433,6 +438,12 @@ class ConditionCallback(BaseCallback):
     @abstractmethod
     def condition(self, solver) -> bool:
         pass  # pragma: no cover
+
+    def flush(self):
+        """Delegate to the attached action callback (see
+        ``ActionCallback.flush``)."""
+        if self.action_callback is not None:
+            self.action_callback.flush()
 
     def __call__(self, solver):
         if self.condition(solver):

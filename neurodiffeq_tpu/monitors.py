@@ -8,6 +8,7 @@ training path; they evaluate solutions on fixed plotting grids by enforcing
 conditions on the current parameters.
 """
 import math
+import threading
 import warnings
 import traceback
 from abc import ABC, abstractmethod
@@ -43,6 +44,10 @@ def _updatable_contour_plot_available():
 # unbounded dict would leak across long hyperparameter sweeps.
 _ENFORCE_JIT_CACHE = OrderedDict()
 _ENFORCE_JIT_CACHE_MAX = 64
+# background monitor draws (MonitorCallback(background=True)) run on a worker
+# thread and hit this module-global cache concurrently with the main thread;
+# OrderedDict mutation is not thread-safe
+_ENFORCE_JIT_CACHE_LOCK = threading.Lock()
 
 
 def _enforce_np(net, params, cond, *arrays):
@@ -50,18 +55,20 @@ def _enforce_np(net, params, cond, *arrays):
     import jax
 
     key = (id(net), id(cond), tuple(np.shape(a) for a in arrays))
-    entry = _ENFORCE_JIT_CACHE.get(key)
-    if entry is None or entry[0] is not net or entry[1] is not cond:
-        def eval_fn(params, cols):
-            coord_fields = F.coordinates(*cols)
-            return cond.enforce(net, params, *coord_fields).value
+    with _ENFORCE_JIT_CACHE_LOCK:
+        entry = _ENFORCE_JIT_CACHE.get(key)
+        if entry is None or entry[0] is not net or entry[1] is not cond:
+            def eval_fn(params, cols):
+                coord_fields = F.coordinates(*cols)
+                return cond.enforce(net, params, *coord_fields).value
 
-        entry = (net, cond, jax.jit(eval_fn))
-        _ENFORCE_JIT_CACHE[key] = entry
-        while len(_ENFORCE_JIT_CACHE) > _ENFORCE_JIT_CACHE_MAX:
-            _ENFORCE_JIT_CACHE.popitem(last=False)
-    else:
-        _ENFORCE_JIT_CACHE.move_to_end(key)
+            entry = (net, cond, jax.jit(eval_fn))
+            _ENFORCE_JIT_CACHE[key] = entry
+            while len(_ENFORCE_JIT_CACHE) > _ENFORCE_JIT_CACHE_MAX:
+                _ENFORCE_JIT_CACHE.popitem(last=False)
+        else:
+            _ENFORCE_JIT_CACHE.move_to_end(key)
+    # the (possibly compiling) jitted call runs outside the lock
     return np.asarray(entry[2](params, [np.asarray(a) for a in arrays]))
 
 
@@ -113,6 +120,10 @@ class BaseMonitor(ABC):
         # point history (clear + plot + legend + log autoscale) measured as
         # the dominant per-fire draw cost late in training
         state = getattr(ax, '_ndq_history_lines', None)
+        # an external ax.clear() detaches the cached artists (set_data on a
+        # removed line renders nothing): rebuild from scratch in that case
+        if state is not None and any(line.axes is not ax for line in state.values()):
+            state = None
         if state is None:
             state = {}
             ax._ndq_history_lines = state
@@ -132,7 +143,15 @@ class BaseMonitor(ABC):
                 state[name] = line
                 new_labels = True
             line.set_data(np.arange(len(values)), np.asarray(values, dtype=float))
-        if new_labels and (losses or len(history) > 2):
+        # drop series the current history no longer tracks (e.g. the monitor
+        # was reused across solvers with different metric sets) — otherwise a
+        # previous solver's final curve keeps drawing forever
+        stale = [name for name, line in state.items()
+                 if (name in ('train_loss', 'valid_loss')) == losses
+                 and name not in history]
+        for name in stale:
+            state.pop(name).remove()
+        if stale or (new_labels and (losses or len(history) > 2)):
             ax.legend()
         ax.relim()
         ax.autoscale_view()

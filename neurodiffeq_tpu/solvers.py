@@ -43,7 +43,7 @@ from .generators import (
 from .conditions import BaseCondition
 from .fields import coords_from_points, cat as field_cat, Field
 from .losses import _losses
-from .utils import next_rng_key, get_default_dtype
+from .utils import next_rng_key, get_default_dtype, GLOBAL_KEYS
 
 try:  # tqdm is optional at runtime
     from tqdm.auto import tqdm
@@ -95,10 +95,6 @@ def _requires_closure(optimizer):
 
 def _tree_add(a, b):
     return jax.tree.map(jnp.add, a, b)
-
-
-def _tree_zeros_like(a):
-    return jax.tree.map(jnp.zeros_like, a)
 
 
 def _tree_select(pred, a, b):
@@ -575,7 +571,7 @@ class BaseSolver(ABC, PretrainedSolver):
                     cols = sample(k, unravel(p))
                     (loss, metrics), grads = jax.value_and_grad(
                         loss_p, has_aux=True)(p, cols)
-                    return jax.tree.map(jnp.add, acc, grads), (loss, metrics)
+                    return _tree_add(acc, grads), (loss, metrics)
 
                 zero = jax.tree.map(jnp.zeros_like, p)
                 grads, (losses, metrics) = jax.lax.scan(body, zero, keys)
@@ -594,8 +590,14 @@ class BaseSolver(ABC, PretrainedSolver):
         n = self.n_batches[phase]
         if n <= 1:
             return True
-        size = getattr(self.generator[phase], 'size', None)
-        return size is not None and n * size <= _VMAP_EPOCH_POINTS
+        gen = self.generator[phase]
+        size = getattr(gen, 'size', None)
+        # oversampling generators (ResidualAdaptiveGenerator) materialize
+        # `oversample` candidate batches (and their scoring passes) per draw;
+        # vmap would hold all of them live at once, so they count toward the
+        # memory bound (unwrap the SamplerGenerator to see the attribute)
+        oversample = getattr(getattr(gen, 'generator', gen), 'oversample', 1)
+        return size is not None and n * size * oversample <= _VMAP_EPOCH_POINTS
 
     def _build_valid_epoch_raw(self):
         gen = self.generator['valid']
@@ -878,8 +880,9 @@ class BaseSolver(ABC, PretrainedSolver):
             so callback work (monitor draws, checkpoints, ...) overlaps with
             device compute. Callback cadence, committed epochs, and best
             tracking are identical to ``pipeline=False``; while no callback
-            mutates training state the numerical stream is bitwise-identical
-            too. A mutating callback (SetLossFn/SetOptimizer/Eve/manual edits)
+            mutates training state or consumes the global PRNG stream the
+            numerical stream is bitwise-identical too. A mutating or
+            key-drawing callback (SetLossFn/SetOptimizer/Eve/manual edits)
             causes the speculative chunk to be discarded and re-dispatched
             from the mutated state — still correct, but the discard consumes
             one PRNG key, so sampled points after that epoch differ from an
@@ -911,11 +914,6 @@ class BaseSolver(ABC, PretrainedSolver):
         if kwargs:
             raise ValueError(f'Unknown keyword argument(s): {list(kwargs.keys())}')
 
-        jittable = (
-            self.generator['train'].jittable
-            and (self.n_batches['valid'] == 0 or self.generator['valid'].jittable)
-        )
-
         pbar = None
         if tqdm is not None and tqdm_file is not None:
             pbar = tqdm(total=max_epochs, desc='Training Progress', colour='blue',
@@ -930,6 +928,15 @@ class BaseSolver(ABC, PretrainedSolver):
             while self.local_epoch < max_epochs:
                 if self._stop_training:
                     break
+                # recomputed every iteration: a callback may hot-swap a
+                # generator (set_generator) or n_batches mid-fit, and a stale
+                # snapshot would keep the compiled chunk path and constant-fold
+                # a non-jittable generator's one host draw into every epoch
+                jittable = (
+                    self.generator['train'].jittable
+                    and (self.n_batches['valid'] == 0
+                         or self.generator['valid'].jittable)
+                )
                 n = self._plan_chunk(callbacks, max_epochs) if jittable else 1
                 if n > 1 or (jittable and not callbacks):
                     if pending is not None and self._pending_valid(pending, n):
@@ -962,6 +969,12 @@ class BaseSolver(ABC, PretrainedSolver):
                                 'gens': (self.generator['train'],
                                          self.generator['valid']),
                                 'metrics': self.metrics_fn,
+                                # global-PRNG state right after the speculative
+                                # draw: a callback that consumes keys (e.g. its
+                                # own sampling) advances the store, and the
+                                # pre-drawn chunk would then train on a
+                                # different stream than an unpipelined run
+                                'key_state': GLOBAL_KEYS._key,
                             }
                             pending['outs'], pending['buf'] = pending.pop('outs_buf')
                     self._commit_chunk(outs, buf, n)  # blocks on device->host
@@ -983,6 +996,13 @@ class BaseSolver(ABC, PretrainedSolver):
         finally:
             if pbar is not None:
                 pbar.close()
+            # no callback worker may outlive fit(): a background monitor draw
+            # still rendering after return would race user-side matplotlib
+            # operations on the same figure
+            for cb in callbacks:
+                flush = getattr(cb, 'flush', None)
+                if callable(flush):
+                    flush()
 
     def _plan_chunk(self, callbacks, max_epochs):
         """Number of epochs to fuse into the next on-device chunk."""
@@ -995,7 +1015,9 @@ class BaseSolver(ABC, PretrainedSolver):
         compiled-function cache (loss_fn/optimizer/n_batches hot-swaps
         replace it via ``_invalidate_compiled``), the generators, the metric
         set, the best-tracking scalar — and the chunk length still matches
-        the freshly planned boundary."""
+        the freshly planned boundary. The global PRNG stream is part of the
+        dependency set: a callback drawing keys means the pre-drawn chunk
+        sampled a different stream than an unpipelined run would."""
         return (pending['n'] == n
                 and self.params is pending['in_params']
                 and self.opt_state is pending['in_opt']
@@ -1004,6 +1026,7 @@ class BaseSolver(ABC, PretrainedSolver):
                 and self.generator['train'] is pending['gens'][0]
                 and self.generator['valid'] is pending['gens'][1]
                 and self.metrics_fn is pending['metrics']
+                and GLOBAL_KEYS._key is pending.get('key_state')
                 and self.lowest_loss == pending.get('lowest'))
 
     def _next_callback_fire(self, callbacks):

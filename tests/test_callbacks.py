@@ -474,3 +474,44 @@ def test_monitor_callback_background_freezes_solver_state():
     # mutations on the live solver after the fire are invisible to the draw
     s.metrics_history['train_loss'].append(2.0)
     assert seen['history'] == {'train_loss': [1.0]}
+
+
+def test_fit_flushes_background_worker_on_return():
+    """fit() must join any in-flight background monitor draw before
+    returning: a worker still rendering after fit() races user-side
+    matplotlib operations on the same figure. The fire cadence here ends
+    BEFORE the last epoch (period 2, max_epochs 5), so only the end-of-fit
+    flush can join the worker."""
+    import threading
+    import time as _time
+
+    from neurodiffeq_tpu.callbacks import MonitorCallback, PeriodLocal
+    from neurodiffeq_tpu.solvers import Solver1D
+    from neurodiffeq_tpu.conditions import IVP
+    from neurodiffeq_tpu.fields import diff
+
+    drawing = threading.Event()
+    done = []
+
+    class SlowMonitor:
+        fig = None
+        using_non_gui_backend = True
+
+        def check(self, nets, conditions, history, params=None, solver=None):
+            drawing.set()
+            _time.sleep(0.3)
+            done.append(len(history['train_loss']))
+
+    mc = MonitorCallback(SlowMonitor(), background=True)
+    solver = Solver1D(
+        ode_system=lambda u, t: [diff(u, t) + u],
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+    )
+    solver.fit(5, callbacks=[mc.conditioned_on(PeriodLocal(period=2))],
+               tqdm_file=None)
+    # the period-2 fires (epochs 2 and 4) went to the worker; fit() returned
+    # only after joining it
+    assert drawing.is_set()
+    assert mc._worker is None or not mc._worker.is_alive()
+    assert len(done) >= 1

@@ -339,3 +339,78 @@ def test_vmap_batch_passes_fall_back_to_scan(monkeypatch):
     tl_scan, vl_scan = run(1)
     assert np.allclose(tl_vmap, tl_scan, rtol=1e-9)
     assert np.allclose(vl_vmap, vl_scan, rtol=1e-9)
+
+
+class _HostCountingGen:
+    """Non-jittable generator that counts host draws."""
+
+    jittable = False
+    adaptive = False
+
+    def __init__(self, size=32):
+        self.size = size
+        self.calls = 0
+
+    def sample(self, key):
+        import jax.numpy as jnp
+        self.calls += 1
+        return jnp.linspace(0.0, 2.0, self.size)
+
+
+def test_set_generator_nonjittable_midfit_leaves_chunk_path():
+    """A mid-fit swap to a non-jittable generator must drop fit() to the
+    per-epoch host path; a stale `jittable` snapshot would keep the compiled
+    chunk and constant-fold the generator's ONE traced draw into every
+    remaining epoch (training silently runs on frozen points)."""
+    solver = make_solver()
+    host_gen = _HostCountingGen()
+
+    class _Swap(cb.ActionCallback):
+        def __call__(self, s):
+            if not host_gen.calls:
+                s.set_generator(host_gen, 'train')
+
+    solver.fit(12, callbacks=[_Swap().conditioned_on(cb.PeriodLocal(period=3))],
+               tqdm_file=None)
+    # swap fires at epoch 3; the remaining 9 epochs must each draw fresh
+    # host samples (n_batches_train=1 -> one draw per epoch)
+    assert host_gen.calls == 9
+    assert len(solver.metrics_history['train_loss']) == 12
+
+
+def test_vmap_gate_counts_adaptive_oversample(monkeypatch):
+    """The vmapped-batch-passes memory gate must count the adaptive
+    generator's `oversample` candidate batches, not just the kept points."""
+    from neurodiffeq_tpu import solvers as solvers_mod
+    from neurodiffeq_tpu.generators import Generator1D, ResidualAdaptiveGenerator
+
+    monkeypatch.setattr(solvers_mod, '_VMAP_EPOCH_POINTS', 400)
+    base = Generator1D(32, 0.0, 2.0, method='equally-spaced-noisy')
+    solver = make_solver(
+        train_generator=ResidualAdaptiveGenerator(base, oversample=8),
+        valid_generator=Generator1D(32, 0.0, 2.0, method='equally-spaced'),
+        n_batches_train=2,
+    )
+    # 2 batches x 32 kept points = 64 <= 400, but the vmapped epoch holds
+    # 2 x 8 x 32 = 512 candidate points live -> must take the scan path
+    assert solver._vmap_batches_ok('train') is False
+    solver.fit(max_epochs=2, tqdm_file=None)
+    assert len(solver.metrics_history['train_loss']) == 2
+
+
+def test_pipeline_discards_on_key_drawing_callback():
+    """A callback that consumes the global PRNG stream invalidates the
+    speculative chunk: the pre-drawn chunk sampled a stream an unpipelined
+    run would not have produced."""
+    from neurodiffeq_tpu.utils import next_rng_key
+
+    class _KeyDrawer(cb.ActionCallback):
+        def __call__(self, solver):
+            next_rng_key()
+
+    solver = make_solver()
+    solver.fit(9, callbacks=[_KeyDrawer().conditioned_on(cb.PeriodLocal(period=3))],
+               tqdm_file=None, pipeline=True)
+    assert solver._fit_spec_hits == 0
+    assert solver._fit_spec_misses >= 2
+    assert len(solver.metrics_history['train_loss']) == 9

@@ -194,3 +194,66 @@ def test_enforce_jit_cache_bounded(monkeypatch):
     # re-hitting a cached shape must not grow the cache
     mon._enforce_np(net, params, cond, np.linspace(0, 1, 5))
     assert len(mon._ENFORCE_JIT_CACHE) == 2
+
+
+def test_plot_history_drops_stale_series_and_survives_clear():
+    """The cached Line2D artists must not outlive their data: a series absent
+    from the current history (monitor reused across solvers with different
+    metric sets) is removed, and an external ax.clear() (which detaches the
+    cached artists) triggers a full rebuild instead of rendering nothing."""
+    import matplotlib.pyplot as plt
+    from neurodiffeq_tpu.monitors import BaseMonitor
+
+    fig, ax = plt.subplots()
+    try:
+        hist_a = {'train_loss': [1.0, 0.5], 'valid_loss': [1.1, 0.6]}
+        BaseMonitor._plot_history(ax, hist_a, losses=True)
+        assert set(ax._ndq_history_lines) == {'train_loss', 'valid_loss'}
+
+        # same ax reused with a history missing valid_loss: stale line removed
+        BaseMonitor._plot_history(ax, {'train_loss': [2.0, 1.0]}, losses=True)
+        assert set(ax._ndq_history_lines) == {'train_loss'}
+        assert all(line.axes is ax for line in ax._ndq_history_lines.values())
+
+        # external clear detaches the artists; next call must rebuild
+        ax.clear()
+        BaseMonitor._plot_history(ax, hist_a, losses=True)
+        lines = ax._ndq_history_lines
+        assert set(lines) == {'train_loss', 'valid_loss'}
+        assert all(line.axes is ax for line in lines.values())
+        np.testing.assert_allclose(lines['train_loss'].get_ydata(), [1.0, 0.5])
+    finally:
+        plt.close(fig)
+
+
+def test_enforce_jit_cache_thread_safe():
+    """Background monitor draws hit the module-global jit cache from a worker
+    thread; concurrent get/insert/evict on the OrderedDict must not corrupt
+    it (the cache serializes its bookkeeping behind a lock)."""
+    import threading
+    from neurodiffeq_tpu import monitors as monitors_mod
+    from neurodiffeq_tpu.conditions import NoCondition
+    from neurodiffeq_tpu.networks import FCNN
+
+    n_threads, iters = 4, 30
+    errors = []
+
+    def worker(seed):
+        try:
+            import jax
+            net = FCNN(n_input_units=1, hidden_units=(4,))
+            params = net.init(jax.random.PRNGKey(seed))
+            cond = NoCondition()
+            for i in range(iters):
+                x = np.linspace(0, 1, 8 + (seed + i) % 3)
+                monitors_mod._enforce_np(net, params, cond, x)
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(monitors_mod._ENFORCE_JIT_CACHE) <= monitors_mod._ENFORCE_JIT_CACHE_MAX
