@@ -121,6 +121,45 @@ def bench_torch_cpu():
     return TORCH_BENCH_EPOCHS * n_points / dt
 
 
+def _run_with_retries():
+    """Re-exec the measurement in a child process with a hard timeout.
+
+    TPU device init goes through a remote tunnel here; when the tunnel flakes
+    the PJRT client blocks in C (uninterruptible from Python), which would
+    hang the benchmark forever. A child process can be killed and retried.
+    Budget per attempt: compile of the chunked step has been measured at up
+    to ~10 min on the remote compile service (see .claude/skills/verify),
+    plus the timed reps and the torch baseline.
+    """
+    import subprocess
+
+    attempts = int(os.environ.get('NEURODIFF_BENCH_ATTEMPTS', 3))
+    timeout_s = float(os.environ.get('NEURODIFF_BENCH_TIMEOUT', 1800))
+    env = {**os.environ, 'NEURODIFF_BENCH_CHILD': '1'}
+    last = None
+    for i in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=timeout_s, capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {i + 1}/{attempts} timed out after "
+                  f"{timeout_s}s (TPU tunnel hang?), retrying", file=sys.stderr)
+            continue
+        sys.stderr.write(proc.stderr)
+        lines = [l for l in proc.stdout.splitlines() if l.strip().startswith('{')]
+        if proc.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        last = proc
+        print(f"bench attempt {i + 1}/{attempts} failed "
+              f"(rc={proc.returncode}), retrying", file=sys.stderr)
+    if last is not None:
+        sys.stdout.write(last.stdout)
+    return 1
+
+
 def main():
     ours, reps, final_loss, epochs_to_target, secs_to_target = bench_ours()
     try:
@@ -151,4 +190,7 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if os.environ.get('NEURODIFF_BENCH_CHILD') == '1':
+        main()
+    else:
+        sys.exit(_run_with_retries())

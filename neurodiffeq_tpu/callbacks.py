@@ -26,8 +26,8 @@ from ._version_utils import deprecated_alias, warn_deprecate_class
 __all__ = [
     'BaseCallback', 'ActionCallback', 'ConditionCallback',
     'MonitorCallback', 'StopCallback', 'CheckpointCallback', 'ReportCallback',
-    'EveCallback', 'SimpleTensorboardCallback', 'SetLossFn', 'SetOptimizer',
-    'ProgressBarCallBack',
+    'EveCallback', 'AutoResidualWeightCallback', 'SimpleTensorboardCallback',
+    'SetLossFn', 'SetOptimizer', 'ProgressBarCallBack',
     'AndCallback', 'OrCallback', 'NotCallback', 'XorCallback',
     'TrueCallback', 'FalseCallback',
     'OnFirstLocal', 'OnFirstGlobal', 'OnLastLocal',
@@ -339,6 +339,138 @@ class EveCallback(ActionCallback):
         new_n = int(min(self.n_0 * 2 ** double_times, self.n_max))
         if new_n != solver.n_batches['train']:
             solver.n_batches['train'] = new_n
+            solver._invalidate_compiled()
+
+
+class AutoResidualWeightCallback(ActionCallback):
+    r"""Adapts per-equation ``residual_weights`` toward *balanced gradient
+    contributions* — no reference analog; an alternative to hand-tuning the
+    weights of stiff multi-equation systems.
+
+    Every fire it measures the parameter-gradient norm :math:`g_k =
+    \|\nabla_\theta\,\mathrm{mean}(r_k^2)\|_2` of each equation's unweighted
+    loss term on a fresh batch, and moves the weights toward the balanced
+    target :math:`w_k \propto \max_j g_j / g_k` (the multi-equation analog of
+    the learning-rate-annealing scheme of Wang, Teng & Perdikaris, *SIAM J.
+    Sci. Comput.* 2021). The raw prescription is **unstable**: applied
+    undamped it enters a starvation spiral (the stiff equation's weight decays
+    geometrically to zero and training converges to a degenerate optimum) —
+    measured in ``benchmarks/balancing_ab.py``. The update is therefore
+    damped: a log-space step of size ``rate`` toward the target, each factor
+    clipped to ``[1/clip, clip]`` per fire, weights renormalized to
+    ``max(w)=1`` and floored at ``min_weight``.
+
+    Measured on the stiff oscillator study (see benchmarks/RESULTS.md): the
+    damped default improves solution error ~7x over unweighted training with
+    zero tuning, while a hand-tuned weight (from nondimensionalizing the
+    system) is still ~3x better than that. Prefer hand weights when you know
+    the scales; use this when you don't.
+
+    Each weight update invalidates the solver's compiled epoch programs (a
+    recompile on the next epoch), so fires should be sparse: compose with e.g.
+    ``OnFirstLocal() | PeriodLocal(period=500)``. Updates freeze automatically
+    once the weights stop moving (``freeze_tol`` relative change for
+    ``freeze_patience`` consecutive fires), after which training runs
+    recompile-free.
+
+    :param rate: log-space step size toward the balanced target (0 < rate <= 1).
+    :param clip: max multiplicative weight change per fire (> 1).
+    :param min_weight: lower floor on normalized weights (prevents total
+        starvation of any equation).
+    :param freeze_tol: relative weight change below which a fire counts as
+        converged.
+    :param freeze_patience: consecutive converged fires before updates stop.
+    """
+
+    def __init__(self, rate=0.3, clip=2.0, min_weight=1e-4,
+                 freeze_tol=0.05, freeze_patience=2, logger=None):
+        super().__init__(logger=logger)
+        if not 0 < rate <= 1:
+            raise ValueError(f'rate must be in (0, 1], got {rate}')
+        if clip <= 1:
+            raise ValueError(f'clip must be > 1, got {clip}')
+        if min_weight <= 0:
+            raise ValueError(f'min_weight must be positive, got {min_weight}')
+        self.rate = rate
+        self.clip = clip
+        self.min_weight = min_weight
+        self.freeze_tol = freeze_tol
+        self.freeze_patience = freeze_patience
+        self.weight_history = []  # (local_epoch, grad_norms, weights) per fire
+        self.frozen = False
+        self._still_fires = 0
+        self._norms_fn = None
+        self._norms_solver = None
+
+    def _build_norms_fn(self, solver, n_eq):
+        import jax
+        import jax.numpy as jnp
+
+        def norms(params, cols):
+            out = []
+            for k in range(n_eq):
+                def loss_k(p, k=k):
+                    if solver.eval_mode is not None:
+                        from .fields import eval_mode
+                        with eval_mode(solver.eval_mode):
+                            funcs, coords = solver._forward(p, cols)
+                            res = solver._residuals(funcs, coords, weighted=False)
+                    else:
+                        funcs, coords = solver._forward(p, cols)
+                        res = solver._residuals(funcs, coords, weighted=False)
+                    r = res.value[:, k]
+                    return jnp.mean(r * r)
+
+                g = jax.grad(loss_k)(params)
+                out.append(jnp.sqrt(sum(jnp.sum(x * x)
+                                        for x in jax.tree.leaves(g))))
+            return jnp.stack(out)
+
+        return jax.jit(norms)
+
+    def __call__(self, solver):
+        if self.frozen:
+            return
+        import jax.numpy as jnp
+        from .utils import next_rng_key
+
+        cols = solver.generator['train'].sample(next_rng_key())
+        if self._norms_fn is None or self._norms_solver is not solver:
+            # probe the system width once (cheap forward, no gradient)
+            funcs, coords = solver._forward(solver.params, cols)
+            n_eq = int(solver._residuals(funcs, coords, weighted=False).value.shape[1])
+            if n_eq < 2:
+                warnings.warn(
+                    'AutoResidualWeightCallback: the system has a single '
+                    'equation; there is nothing to balance. Freezing.')
+                self.frozen = True
+                return
+            self._norms_fn = self._build_norms_fn(solver, n_eq)
+            self._norms_solver = solver
+        g = np.asarray(self._norms_fn(solver.params, cols), dtype=float)
+        target = g.max() / np.maximum(g, 1e-30)
+        cur = np.asarray(solver.residual_weights or [1.0] * len(g), dtype=float)
+        if len(cur) != len(g):
+            raise ValueError(
+                f'residual_weights has {len(cur)} entries but the system '
+                f'produced {len(g)} residuals')
+        step = np.exp(self.rate * np.log(np.maximum(target, 1e-30) / cur))
+        w = cur * np.clip(step, 1.0 / self.clip, self.clip)
+        w = np.maximum(w / w.max(), self.min_weight)
+        self.weight_history.append(
+            (solver.local_epoch, [float(x) for x in g], [float(x) for x in w]))
+        rel = float(np.abs(np.log(w / cur)).max())
+        if rel < math.log1p(self.freeze_tol):
+            self._still_fires += 1
+            if self._still_fires >= self.freeze_patience:
+                self.frozen = True
+                self.logger.info(
+                    f'residual weights converged at {list(w)}; freezing '
+                    f'(no further recompiles)')
+        else:
+            self._still_fires = 0
+        if rel > 1e-3:  # skip the recompile when nothing moved
+            solver.residual_weights = [float(x) for x in w]
             solver._invalidate_compiled()
 
 

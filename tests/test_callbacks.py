@@ -515,3 +515,87 @@ def test_fit_flushes_background_worker_on_return():
     assert drawing.is_set()
     assert mc._worker is None or not mc._worker.is_alive()
     assert len(done) >= 1
+
+
+def _stiff_solver(residual_weights=None):
+    from neurodiffeq_tpu.solvers import Solver1D
+    from neurodiffeq_tpu.conditions import IVP
+    from neurodiffeq_tpu.networks import FCNN, SinActv
+    from neurodiffeq_tpu.fields import diff
+
+    eqs = lambda u, v, t: [diff(u, t) - v, diff(v, t) + 100.0 * u]
+    return Solver1D(
+        ode_system=eqs,
+        conditions=[IVP(0.0, 1.0), IVP(0.0, 0.0)],
+        t_min=0.0, t_max=1.0,
+        nets=[FCNN(hidden_units=(16,), actv=SinActv) for _ in range(2)],
+        residual_weights=residual_weights,
+    )
+
+
+def test_auto_residual_weight_balances_stiff_system():
+    """On u'=v, v'=-100u the second equation's gradient norm is ~100x the
+    first's; the balancer must down-weight it (toward the 1/omega^2
+    nondimensionalization weight) while keeping the chunked fit path."""
+    from neurodiffeq_tpu.callbacks import (
+        AutoResidualWeightCallback, OnFirstLocal, PeriodLocal)
+
+    solver = _stiff_solver()
+    ab = AutoResidualWeightCallback()
+    solver.fit(600, callbacks=[ab.conditioned_on(OnFirstLocal() | PeriodLocal(period=100))],
+               tqdm_file=None)
+    assert len(ab.weight_history) >= 6
+    w = solver.residual_weights
+    assert w is not None and len(w) == 2
+    assert w[0] == 1.0                     # renormalized: max weight is 1
+    assert w[1] < 0.5                      # stiff equation down-weighted
+    assert w[1] >= ab.min_weight           # floored, never starved to zero
+    # the periodic fires have hints, so fit() still chunks between them
+    assert solver._fit_chunk_sizes and max(solver._fit_chunk_sizes) >= 99
+
+
+def test_auto_residual_weight_freezes_and_stops_recompiling():
+    from neurodiffeq_tpu.callbacks import AutoResidualWeightCallback, PeriodLocal
+
+    solver = _stiff_solver()
+    # huge tolerance: every fire counts as converged -> freezes after 2
+    ab = AutoResidualWeightCallback(freeze_tol=1e9, freeze_patience=2)
+    solver.fit(500, callbacks=[ab.conditioned_on(PeriodLocal(period=100))],
+               tqdm_file=None)
+    assert ab.frozen
+    assert len(ab.weight_history) == 2
+    w_frozen = list(solver.residual_weights)
+    compiled = solver._compiled
+    solver.fit(200, callbacks=[ab.conditioned_on(PeriodLocal(period=100))],
+               tqdm_file=None)
+    assert solver.residual_weights == w_frozen
+    assert solver._compiled is compiled    # no invalidation after freeze
+
+
+def test_auto_residual_weight_single_equation_warns():
+    from neurodiffeq_tpu.solvers import Solver1D
+    from neurodiffeq_tpu.conditions import IVP
+    from neurodiffeq_tpu.callbacks import AutoResidualWeightCallback, PeriodLocal
+    from neurodiffeq_tpu.fields import diff
+
+    solver = Solver1D(ode_system=lambda u, t: [diff(u, t) + u],
+                      conditions=[IVP(0.0, 1.0)], t_min=0.0, t_max=2.0)
+    ab = AutoResidualWeightCallback()
+    with pytest.warns(UserWarning, match='single'):
+        solver.fit(4, callbacks=[ab.conditioned_on(PeriodLocal(period=2))],
+                   tqdm_file=None)
+    assert ab.frozen
+    assert solver.residual_weights is None
+
+
+def test_auto_residual_weight_validation():
+    from neurodiffeq_tpu.callbacks import AutoResidualWeightCallback
+
+    with pytest.raises(ValueError):
+        AutoResidualWeightCallback(rate=0.0)
+    with pytest.raises(ValueError):
+        AutoResidualWeightCallback(rate=1.5)
+    with pytest.raises(ValueError):
+        AutoResidualWeightCallback(clip=1.0)
+    with pytest.raises(ValueError):
+        AutoResidualWeightCallback(min_weight=0.0)
