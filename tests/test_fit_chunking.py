@@ -149,6 +149,23 @@ def test_chunked_fit_monitor_style_composition():
     assert solver._fit_chunk_sizes == [4, 4, 2]
 
 
+def test_chunked_fit_and_composition_refires_at_intersection():
+    """``&`` hints are sound lower bounds, not exact fire epochs: the chunker
+    stops at max(child hints) (epoch 5 for 3&5), finds the condition false,
+    and re-plans until the true intersection (15, 30). Firing must match the
+    per-epoch reference cadence exactly."""
+    solver = make_solver()
+    rec = _Recorder()
+    composed = (cb.PeriodLocal(period=3) & cb.PeriodLocal(period=5)).set_action_callback(rec)
+    solver.fit(31, callbacks=[composed], tqdm_file=None)
+    assert rec.fired_at == [15, 30]
+    # chunked path engaged (6 device dispatches, not 31) even though most
+    # boundaries were non-fire stops; the final orphan epoch (31st) runs on
+    # the per-epoch path because a 1-epoch chunk isn't worth a dispatch
+    assert solver._fit_chunk_sizes == [5, 5, 5, 5, 5, 5]
+    assert len(solver.metrics_history['train_loss']) == 31
+
+
 def test_chunked_matches_per_epoch_firing():
     """Firing epochs must be identical to the forced per-epoch path."""
     fired = {}
