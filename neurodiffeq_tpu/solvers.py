@@ -24,6 +24,7 @@ re-designed TPU-first:
 """
 import sys
 import math
+import numbers
 import inspect
 import warnings
 from abc import ABC, abstractmethod
@@ -256,6 +257,14 @@ class BaseSolver(ABC, PretrainedSolver):
             else:
                 self.metrics_fn['analytic_mse'] = analytic_mse
 
+        # Lazily committed chunk history: each entry is a packed device buffer
+        # (still a future) queued by `_commit_chunk` and folded into the host
+        # lists only on first *read* of `metrics_history` — counter-only
+        # callbacks (Period*/OnFirst/OnLast/ClosedInterval/...) never read it,
+        # so their chunk boundaries stay device->host-transfer-free.
+        self._pending_history = []
+        self._pending_n = 0
+        self._history_syncs = 0  # diagnostics: lazy flush count (tests)
         self.metrics_history = {}
         self.metrics_history.update({'train_loss': [], 'valid_loss': []})
         self.metrics_history.update({'train__' + name: [] for name in self.metrics_fn})
@@ -361,11 +370,64 @@ class BaseSolver(ABC, PretrainedSolver):
 
     @property
     def global_epoch(self):
-        r"""Global epoch count, always equal to the length of train loss
-        history (plus, transiently, epochs of a device chunk whose history
-        has not been fetched yet — only nonzero while ``fit`` plans the next
-        speculative chunk, so callbacks always see the committed count)."""
-        return len(self.metrics_history['train_loss']) + self._uncommitted_epochs
+        r"""Global epoch count: committed history length + epochs of lazily
+        committed chunks whose packed buffers have not been fetched from the
+        device yet (``_pending_history``) + transiently, epochs of a chunk
+        that is committed mid-plan (``_uncommitted_epochs``). Computed from
+        counters, NOT by reading the history — so epoch-cadence callbacks
+        never force a device->host sync."""
+        return (len(self._metrics_history['train_loss'])
+                + self._pending_n + self._uncommitted_epochs)
+
+    @property
+    def metrics_history(self):
+        """Per-epoch history dict. Reading it folds any lazily committed
+        chunk buffers in first (one device->host transfer per chunk)."""
+        if self._pending_history:
+            self._flush_history()
+        return self._metrics_history
+
+    @metrics_history.setter
+    def metrics_history(self, value):
+        if getattr(self, '_pending_history', None):
+            self._flush_history()
+        self._metrics_history = value
+
+    def _flush_history(self):
+        """Fold lazily committed chunk buffers (device futures queued by
+        `_commit_chunk`) into the host-side history lists, in order."""
+        pending, self._pending_history = self._pending_history, []
+        self._pending_n = 0
+        self._history_syncs += 1
+        h = self._metrics_history
+        for buf, n, metric_names, has_valid in pending:
+            buf = np.asarray(buf)  # blocks on the device buffer
+            h['train_loss'].extend(buf[0, :n].tolist())
+            if has_valid:
+                h['valid_loss'].extend(buf[1, :n].tolist())
+            for k, name in enumerate(metric_names):
+                h['train__' + name].extend(buf[2 + k, :n].tolist())
+                if has_valid:
+                    h['valid__' + name].extend(
+                        buf[2 + len(metric_names) + k, :n].tolist())
+
+    @property
+    def lowest_loss(self):
+        """Lowest watched loss so far. After a lazily committed chunk the raw
+        value is a device scalar; reading converts it (cached separately, so
+        the raw object's identity — which the speculative-pipeline validity
+        check relies on — survives reads)."""
+        raw = self._lowest_raw
+        if raw is None or isinstance(raw, numbers.Number):
+            return raw
+        if self._lowest_float is None:
+            self._lowest_float = float(raw)
+        return self._lowest_float
+
+    @lowest_loss.setter
+    def lowest_loss(self, value):
+        self._lowest_raw = value
+        self._lowest_float = None
 
     @property
     def batch(self):
@@ -977,9 +1039,9 @@ class BaseSolver(ABC, PretrainedSolver):
                                 'key_state': GLOBAL_KEYS._key,
                             }
                             pending['outs'], pending['buf'] = pending.pop('outs_buf')
-                    self._commit_chunk(outs, buf, n)  # blocks on device->host
+                    self._commit_chunk(outs, buf, n)  # non-blocking (lazy history)
                     if pending is not None:
-                        pending['lowest'] = self.lowest_loss
+                        pending['lowest'] = self._lowest_raw
                 else:
                     if pending is not None:
                         self._fit_spec_misses += 1
@@ -1027,7 +1089,11 @@ class BaseSolver(ABC, PretrainedSolver):
                 and self.generator['valid'] is pending['gens'][1]
                 and self.metrics_fn is pending['metrics']
                 and GLOBAL_KEYS._key is pending.get('key_state')
-                and self.lowest_loss == pending.get('lowest'))
+                # identity, not equality: the raw lowest is the exact device
+                # scalar (or cached float) `_commit_chunk` stored; a callback
+                # assigning lowest_loss replaces the object -> discard. Never
+                # forces a device sync the way `==` on a device scalar would.
+                and self._lowest_raw is pending.get('lowest'))
 
     def _next_callback_fire(self, callbacks):
         """Earliest local epoch any callback may fire at (``inf`` if none do).
@@ -1059,30 +1125,28 @@ class BaseSolver(ABC, PretrainedSolver):
                 lowest = jnp.asarray(jnp.inf, dtype=dtype)
             else:
                 best_params = self.best_params
-                lowest = jnp.asarray(self.lowest_loss, dtype=dtype)
+                # `_lowest_raw` may still be a device scalar from a lazily
+                # committed chunk; jnp.asarray casts on device without a sync
+                lowest = jnp.asarray(self._lowest_raw, dtype=dtype)
         chunk_fn = self._get_compiled('fit_chunk_dyn', self._build_fit_chunk_dynamic)
         return chunk_fn(params, opt_state, best_params, lowest,
                         next_rng_key(), n)
 
     def _commit_chunk(self, outs, buf, n):
-        """Block on the chunk's packed history buffer and fold the results
-        into solver state."""
+        """Fold the chunk's results into solver state WITHOUT any device->host
+        transfer: params/opt/best stay device futures, the running lowest is
+        kept as a device scalar, and the packed history buffer is queued for
+        a lazy fetch on first `metrics_history` read. Counter-only callbacks
+        (the common cadence conditions) never read it, so their chunk
+        boundaries cost only dispatch, not a blocking tunnel round trip."""
         params, opt_state, best_params, lowest = outs
-        # the whole chunk's history + running lowest arrives as ONE packed
-        # array = one device->host transfer (per-leaf fetches each pay a full
-        # tunnel round trip, which dominated callback-bounded chunks)
-        buf = np.asarray(buf)
-        self.metrics_history['train_loss'].extend(buf[0, :n].tolist())
-        if self.n_batches['valid'] > 0:
-            self.metrics_history['valid_loss'].extend(buf[1, :n].tolist())
-        for k, name in enumerate(self.metrics_fn):
-            self.metrics_history['train__' + name].extend(buf[2 + k, :n].tolist())
-            if self.n_batches['valid'] > 0:
-                self.metrics_history['valid__' + name].extend(
-                    buf[2 + len(self.metrics_fn) + k, :n].tolist())
         self.params, self.opt_state = params, opt_state
         self.best_params = best_params
-        self.lowest_loss = float(buf[-1, n - 1])
+        self._lowest_raw = lowest  # == buf[-1, n-1]; floated lazily on read
+        self._lowest_float = None
+        self._pending_history.append(
+            (buf, n, tuple(self.metrics_fn), self.n_batches['valid'] > 0))
+        self._pending_n += n
         self._fit_chunk_sizes.append(n)
 
     def _run_chunk_on_device(self, n):

@@ -431,3 +431,100 @@ def test_pipeline_discards_on_key_drawing_callback():
     assert solver._fit_spec_hits == 0
     assert solver._fit_spec_misses >= 2
     assert len(solver.metrics_history['train_loss']) == 9
+
+
+# ------------------------------------------------------------- lazy history
+
+def test_counter_only_callbacks_never_sync_history():
+    """Chunk boundaries whose callbacks read only epoch counters must not
+    fetch the history buffers from the device (VERDICT r3 item 3): the
+    packed buffers stay queued until something actually reads
+    ``metrics_history``."""
+    solver = make_solver()
+    rec = _Recorder()  # reads solver.local_epoch only
+    solver.fit(20, callbacks=[rec.conditioned_on(cb.PeriodLocal(period=5))],
+               tqdm_file=None)
+    assert rec.fired_at == [5, 10, 15, 20]
+    assert solver._history_syncs == 0          # zero transfers during fit
+    assert solver._pending_n == 20             # all 4 chunks still queued
+    assert solver.global_epoch == 20           # counters, not history reads
+    assert solver._history_syncs == 0
+    # first real read folds everything in, in order
+    assert len(solver.metrics_history['train_loss']) == 20
+    assert solver._history_syncs == 1
+    assert solver._pending_n == 0
+    assert solver.lowest_loss == min(solver.metrics_history['valid_loss'])
+
+
+def test_lazy_history_matches_eager_flush_run():
+    """Lazily folded history must be bitwise-identical to the same chunked
+    run with a callback that forces an eager flush at every boundary."""
+    from neurodiffeq_tpu.utils import set_seed
+
+    class _EagerFlusher(cb.ActionCallback):
+        def __call__(self, solver):
+            solver.metrics_history  # forces the lazy fold
+
+    histories = {}
+    for eager in (False, True):
+        set_seed(77)
+        solver = make_solver()
+        callbacks = [_Recorder().conditioned_on(cb.PeriodLocal(period=4))]
+        if eager:
+            callbacks.append(_EagerFlusher().conditioned_on(cb.PeriodLocal(period=4)))
+        solver.fit(8, callbacks=callbacks, tqdm_file=None)
+        assert solver._fit_chunk_sizes == [4, 4]
+        assert solver._history_syncs == (2 if eager else 0)
+        histories[eager] = (solver.metrics_history['train_loss'],
+                            solver.metrics_history['valid_loss'],
+                            solver.lowest_loss)
+    assert histories[False] == histories[True]
+
+
+def test_history_reading_callback_sees_committed_epochs():
+    """A callback that does read the history triggers the lazy fold and must
+    observe every epoch committed so far (mid-fit correctness)."""
+    seen = []
+
+    class _HistoryReader(cb.ActionCallback):
+        def __call__(self, solver):
+            seen.append((solver.local_epoch,
+                         len(solver.metrics_history['train_loss']),
+                         solver.lowest_loss))
+
+    solver = make_solver()
+    solver.fit(12, callbacks=[_HistoryReader().conditioned_on(cb.PeriodLocal(period=4))],
+               tqdm_file=None)
+    assert [(e, n) for e, n, _ in seen] == [(4, 4), (8, 8), (12, 12)]
+    assert all(low == min(solver.metrics_history['valid_loss'][:n]) for _, n, low in seen)
+    assert solver._history_syncs >= 3
+
+
+def test_lazy_history_save_load_roundtrip(tmp_path):
+    """Saving with pending lazy buffers must flush them into the artifact."""
+    solver = make_solver()
+    solver.fit(10, callbacks=[_Recorder().conditioned_on(cb.PeriodLocal(period=5))],
+               tqdm_file=None)
+    assert solver._pending_n == 10
+    path = tmp_path / "ckpt.ndeq"
+    solver.save(str(path))
+    solver2 = Solver1D.load(path=str(path))
+    assert len(solver2.metrics_history['train_loss']) == 10
+    assert solver2.lowest_loss == pytest.approx(solver.lowest_loss)
+
+
+def test_lazy_history_does_not_break_speculation():
+    """Reading lowest_loss (a float cache of the device scalar) between
+    boundaries must not invalidate the speculative chunk's identity check."""
+    reads = []
+
+    class _LowestReader(cb.ActionCallback):
+        def __call__(self, solver):
+            reads.append(solver.lowest_loss)  # floats the device scalar
+
+    solver = make_solver()
+    solver.fit(20, callbacks=[_LowestReader().conditioned_on(cb.PeriodLocal(period=5))],
+               tqdm_file=None)
+    assert len(reads) == 4
+    assert solver._fit_spec_hits == 3
+    assert solver._fit_spec_misses == 0
