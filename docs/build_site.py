@@ -20,6 +20,7 @@ The build fails (exit 1) on dangling internal links, so the smoke test in
 """
 import argparse
 import html
+import json
 import re
 import sys
 from pathlib import Path
@@ -312,6 +313,43 @@ def render_tutorial(py_source, links_out=None, headings_out=None):
     return '\n'.join(out)
 
 
+def percent_to_ipynb(py_source):
+    """Convert a `# %%` percent-format tutorial to a Jupyter notebook dict
+    (nbformat 4) — the literal notebook artifact class the reference ships
+    (``/root/reference/docs/intro.ipynb`` etc.). Pure stdlib: the dict
+    serializes with ``json.dumps``; no nbformat dependency."""
+    cells_src = re.split(r'(?m)^# %%.*$', py_source)
+    markers = re.findall(r'(?m)^# %%(.*)$', py_source)
+    cells = []
+    for marker, cell in zip(markers, cells_src[1:]):
+        cell = cell.strip('\n')
+        if not cell.strip():
+            continue
+        lines = cell.split('\n')
+        if '[markdown]' in marker:
+            md = [re.sub(r'^#($| )', '', ln) for ln in lines]
+            cells.append({
+                'cell_type': 'markdown', 'metadata': {},
+                'source': [ln + '\n' for ln in md[:-1]] + md[-1:],
+            })
+        else:
+            cells.append({
+                'cell_type': 'code', 'metadata': {},
+                'execution_count': None, 'outputs': [],
+                'source': [ln + '\n' for ln in lines[:-1]] + lines[-1:],
+            })
+    return {
+        'cells': cells,
+        'metadata': {
+            'kernelspec': {'display_name': 'Python 3', 'language': 'python',
+                           'name': 'python3'},
+            'language_info': {'name': 'python', 'version': '3'},
+        },
+        'nbformat': 4,
+        'nbformat_minor': 5,
+    }
+
+
 # ---------------------------------------------------------------------------
 # site assembly
 # ---------------------------------------------------------------------------
@@ -469,9 +507,19 @@ def build_site(out_dir):
         if kind == 'tutorial':
             body = render_tutorial(text, links, headings)
             rel = src.relative_to(REPO)
+            # notebook mirror (generated at build time from the CI-executed
+            # .py source, so the .ipynb can never drift from tested code)
+            nb_name = 'tutorials/%s.ipynb' % src.stem
+            nb_dest = out_dir / nb_name
+            nb_dest.parent.mkdir(parents=True, exist_ok=True)
+            nb_dest.write_text(json.dumps(percent_to_ipynb(text), indent=1))
+            # phantom source path so the download link resolves in the
+            # link-rewrite pass (the .ipynb exists only in the output dir)
+            src_to_out[(src.parent / (src.stem + '.ipynb')).resolve()] = nb_name
             body = ('<p><em>Executable source: <code>%s</code> — run it '
-                    'directly or open cell-by-cell in a percent-format '
-                    'editor.</em></p>' % rel) + body
+                    'directly, open cell-by-cell in a percent-format editor, '
+                    'or <a href="%s">download as a Jupyter notebook</a>.'
+                    '</em></p>' % (rel, src.stem + '.ipynb')) + body
         else:
             body = render_markdown(text, links, headings)
         body, bad = _rewrite_links(body, src, out_name, src_to_out)

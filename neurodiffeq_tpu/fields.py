@@ -82,8 +82,12 @@ def get_eval_mode():
 class eval_mode:
     """Context manager scoping the evaluation strategy: ``with eval_mode('compose'): ...``.
 
-    Useful for workloads where one strategy measures faster (e.g. very large
-    collocation batches currently favor 'compose'; see ops/taylor.py)."""
+    The default 'taylor' mode measures at or below per-sample 'compose' cost
+    (FLOPs and bytes, XLA cost analysis) on every operator family and at
+    every batch scale tested — see benchmarks/mixed_jets_cost.py and
+    benchmarks/RESULTS.md. 'compose' remains available as the always-correct
+    reference path (it is also what unsupported primitives fall back to
+    per-subexpression)."""
 
     def __init__(self, mode):
         if mode not in ('taylor', 'compose'):

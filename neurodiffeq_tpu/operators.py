@@ -137,31 +137,62 @@ def spherical_grad(u, r, theta, phi):
 
 
 def spherical_div(u_r, u_theta, u_phi, r, theta, phi):
-    r"""Divergence in spherical coordinates."""
-    sin_th = sin(theta)
-    return (diff(u_r * r ** 2, r) / r + (diff(u_theta * sin_th, theta) + diff(u_phi, phi)) / sin_th) / r
+    r"""Divergence in spherical coordinates.
+
+    Expanded (non-conservative) metric form — analytically identical to the
+    reference's conservative ``diff(u_r·r², r)/r²`` form
+    (``operators.py:167-186``) but every derivative is of a raw field
+    component, so in Taylor mode each term is a direct series read with no
+    product-rule series arithmetic (measured 0.89×→≥1.0× vs per-sample
+    compose on the vector-Laplacian family, ``benchmarks/mixed_jets_cost.py``).
+    """
+    cot_th = cos(theta) / sin(theta)
+    return (diff(u_r, r) + 2 * u_r / r
+            + (diff(u_theta, theta) + cot_th * u_theta) / r
+            + diff(u_phi, phi) / (r * sin(theta)))
+
+
+def _expanded_spherical_scalar_lap(u_dr, u_dth, u_dph, r, theta, phi,
+                                   r_inv, r2_inv, cot_th, csc2_th):
+    """Expanded ∇²u given u's first partials: u_rr + 2u_r/r +
+    (u_θθ + cotθ·u_θ)/r² + u_φφ/(r²sin²θ). All second derivatives are
+    same-direction reads off the field's Taylor series."""
+    return (diff(u_dr, r) + 2 * u_dr * r_inv
+            + (diff(u_dth, theta) + cot_th * u_dth) * r2_inv
+            + diff(u_dph, phi) * (csc2_th * r2_inv))
 
 
 def spherical_laplacian(u, r, theta, phi):
-    r"""Scalar laplacian in spherical coordinates."""
+    r"""Scalar laplacian in spherical coordinates (expanded metric form; see
+    :func:`spherical_div` for why)."""
     u_dr, u_dth, u_dph = grad(u, r, theta, phi)
     sin_th = sin(theta)
-    r2 = r ** 2
-    return (diff(r2 * u_dr, r) + diff(sin_th * u_dth, theta) / sin_th + diff(u_dph, phi) / sin_th ** 2) / r2
+    r_inv = 1 / r
+    return _expanded_spherical_scalar_lap(
+        u_dr, u_dth, u_dph, r, theta, phi,
+        r_inv, r_inv ** 2, cos(theta) / sin_th, 1 / sin_th ** 2)
 
 
 def spherical_vector_laplacian(u_r, u_theta, u_phi, r, theta, phi):
-    r"""Vector laplacian in spherical coordinates (metric coupling terms included)."""
+    r"""Vector laplacian in spherical coordinates (metric coupling terms
+    included; expanded metric form — see :func:`spherical_div`)."""
     ur_dr, ur_dth, ur_dph = grad(u_r, r, theta, phi)
     uth_dr, uth_dth, uth_dph = grad(u_theta, r, theta, phi)
     uph_dr, uph_dth, uph_dph = grad(u_phi, r, theta, phi)
     sin_th, cos_th = sin(theta), cos(theta)
     sin2_th = sin_th ** 2
     r2 = r ** 2
+    r_inv = 1 / r
+    r2_inv = r_inv ** 2
+    cot_th = cos_th / sin_th
+    csc2_th = 1 / sin2_th
 
-    scalar_lap_r = (diff(r2 * ur_dr, r) + diff(sin_th * ur_dth, theta) / sin_th + diff(ur_dph, phi) / sin2_th) / r2
-    scalar_lap_th = (diff(r2 * uth_dr, r) + diff(sin_th * uth_dth, theta) / sin_th + diff(uth_dph, phi) / sin2_th) / r2
-    scalar_lap_ph = (diff(r2 * uph_dr, r) + diff(sin_th * uph_dth, theta) / sin_th + diff(uph_dph, phi) / sin2_th) / r2
+    scalar_lap_r = _expanded_spherical_scalar_lap(
+        ur_dr, ur_dth, ur_dph, r, theta, phi, r_inv, r2_inv, cot_th, csc2_th)
+    scalar_lap_th = _expanded_spherical_scalar_lap(
+        uth_dr, uth_dth, uth_dph, r, theta, phi, r_inv, r2_inv, cot_th, csc2_th)
+    scalar_lap_ph = _expanded_spherical_scalar_lap(
+        uph_dr, uph_dth, uph_dph, r, theta, phi, r_inv, r2_inv, cot_th, csc2_th)
 
     vec_lap_r = scalar_lap_r - 2 * (u_r + uth_dth + (cos_th * u_theta + uph_dph) / sin_th) / r2
     vec_lap_th = scalar_lap_th + (2 * ur_dth - (u_theta + 2 * cos_th * uph_dph) / sin2_th) / r2

@@ -100,3 +100,34 @@ def test_tutorial_renderer_units():
     assert '<h1 id="title">Title</h1>' in out
     assert '<em>prose</em>' in out
     assert '<span class="c"># comment</span>' in out
+
+
+def test_tutorial_notebook_mirrors(site):
+    """Each percent-format tutorial gets a generated .ipynb mirror in the
+    built site (the notebook artifact class the reference ships as
+    docs/intro.ipynb etc.), valid nbformat-4 JSON with both cell types,
+    linked from the tutorial page."""
+    import json
+    out, built, _ = site
+    stems = ['01_intro', '02_how_it_works', '03_advanced']
+    for stem in stems:
+        nb = json.loads((out / 'tutorials' / (stem + '.ipynb')).read_text())
+        assert nb['nbformat'] == 4
+        kinds = {c['cell_type'] for c in nb['cells']}
+        assert kinds == {'markdown', 'code'}
+        # round-trip: joined code-cell sources reproduce the executable code
+        py_src = (Path(build_site.REPO) / 'docs' / 'tutorials'
+                  / (stem + '.py')).read_text()
+        for cell in nb['cells']:
+            if cell['cell_type'] == 'code':
+                assert ''.join(cell['source']).strip() in py_src
+        page = (out / 'tutorials' / (stem + '.html')).read_text()
+        assert stem + '.ipynb' in page
+
+
+def test_percent_to_ipynb_units():
+    nb = build_site.percent_to_ipynb(
+        "# %% [markdown]\n# # Title\n# prose `x`\n\n# %%\nx = 1\ny = 2\n")
+    assert [c['cell_type'] for c in nb['cells']] == ['markdown', 'code']
+    assert nb['cells'][0]['source'] == ['# Title\n', 'prose `x`']
+    assert nb['cells'][1]['source'] == ['x = 1\n', 'y = 2']

@@ -182,3 +182,60 @@ def test_short_convergence_f32():
     ts = np.linspace(0, 2, 100)
     err = np.abs(np.asarray(solver.get_solution()(ts)) - np.exp(-ts)).max()
     assert err < 3e-2, f"f32 convergence regression: {err}"
+
+
+def test_lotka_volterra_convergence_f32():
+    """The README Lotka-Volterra exemplar (BASELINE config 1) end-to-end at
+    the shipped f32 default: max err vs scipy odeint < 4e-2 at 3000 epochs
+    (the f64 benchmark run reaches ~1.1e-2; f32 costs a small constant
+    factor on this oscillatory system, pinned here against regressions)."""
+    from scipy.integrate import odeint
+    from neurodiffeq_tpu.solvers import Solver1D
+    solver = Solver1D(
+        ode_system=lambda u, v, t: [diff(u, t) - (u - u * v),
+                                    diff(v, t) - (u * v - v)],
+        conditions=[C.IVP(t_0=0.1, u_0=1.5), C.IVP(t_0=0.1, u_0=1.0)],
+        t_min=0.1, t_max=12.0,
+        nets=[FCNN(actv=SinActv), FCNN(actv=SinActv)],
+    )
+    solver.fit(max_epochs=3000, tqdm_file=None)
+    assert solver.params[0]['layers'][0]['W'].dtype == jnp.float32
+    ts = np.linspace(0.1, 12, 200)
+    ref = odeint(lambda s, t: [s[0] - s[0] * s[1], s[0] * s[1] - s[1]],
+                 [1.5, 1.0], ts)
+    prey, pred = solver.get_solution()(ts, to_numpy=True)
+    err = max(np.abs(prey - ref[:, 0]).max(), np.abs(pred - ref[:, 1]).max())
+    assert err < 4e-2, f"f32 LV convergence regression: {err}"
+
+
+def test_laplace2d_flagship_convergence_f32():
+    """The flagship 2-D Laplace Dirichlet config (BASELINE config 2, the
+    bench.py headline) end-to-end at f32: max err vs the analytic solution
+    < 1e-2 at 1500 epochs (the f64 run reaches ~1.3e-3 at 2000; the f32
+    floor on this harmonic problem is ~a few e-3)."""
+    from neurodiffeq_tpu.solvers import Solver2D
+    from neurodiffeq_tpu.generators import Generator2D
+    cond = C.DirichletBVP2D(
+        x_min=0.0, x_min_val=lambda y: 0 * y,
+        x_max=1.0, x_max_val=lambda y: 0 * y,
+        y_min=0.0, y_min_val=lambda x: F.sin(np.pi * x),
+        y_max=1.0, y_max_val=lambda x: 0 * x,
+    )
+    solver = Solver2D(
+        pde_system=lambda u, x, y: [diff(u, x, 2) + diff(u, y, 2)],
+        conditions=[cond],
+        xy_min=(0, 0), xy_max=(1, 1),
+        nets=[FCNN(2, 1, hidden_units=(512,))],
+        train_generator=Generator2D((32, 32), (0, 0), (1, 1),
+                                    method='equally-spaced-noisy'),
+        valid_generator=Generator2D((32, 32), (0, 0), (1, 1),
+                                    method='equally-spaced'),
+        n_batches_valid=0,
+    )
+    solver.fit(max_epochs=1500, tqdm_file=None)
+    assert solver.params[0]['layers'][0]['W'].dtype == jnp.float32
+    rs = np.random.RandomState(3)
+    xs, ys = rs.rand(300), rs.rand(300)
+    expected = np.sin(np.pi * xs) * np.sinh(np.pi * (1 - ys)) / np.sinh(np.pi)
+    err = np.abs(np.asarray(solver.get_solution()(xs, ys)) - expected).max()
+    assert err < 1e-2, f"f32 flagship convergence regression: {err}"

@@ -245,6 +245,63 @@ def test_sharded_solver_with_adaptive_generator():
     assert hist[-1] < hist[0]
 
 
+def test_sharded_chunked_pipelined_fit_with_callbacks_matches_unsharded():
+    """The round-3 fit machinery (fire-boundary chunking, speculative
+    pipelining, lazy history commits) composed with a points mesh: callback
+    fire epochs, what the callback reads from the (lazily synced) history,
+    and the full loss trajectory must all match the unsharded run."""
+    from neurodiffeq_tpu import callbacks as cb
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    class HistoryReader(cb.ActionCallback):
+        """Monitor-style action: reads the history at every fire (forcing a
+        lazy-history flush mid-fit)."""
+
+        def __init__(self):
+            super().__init__()
+            self.fired_at = []
+            self.loss_seen = []
+
+        def __call__(self, solver):
+            self.fired_at.append(solver.local_epoch)
+            self.loss_seen.append(solver.metrics_history['train_loss'][-1])
+
+    def run(m):
+        solver = Solver1D(
+            ode_system=lambda u, t: [diff(u, t) + u],
+            conditions=[IVP(t_0=0.0, u_0=1.0)],
+            t_min=0.0, t_max=2.0,
+            train_generator=Generator1D(16 * n_dev, 0, 2, method='equally-spaced'),
+            valid_generator=Generator1D(16 * n_dev, 0, 2, method='equally-spaced'),
+            key=jax.random.PRNGKey(7),
+            mesh=m,
+        )
+        rec = HistoryReader()
+        solver.fit(max_epochs=350,
+                   callbacks=[rec.conditioned_on(cb.PeriodLocal(period=100))],
+                   tqdm_file=None, pipeline=True)
+        return rec, solver
+
+    rec_mesh, s_mesh = run(mesh)
+    rec_plain, s_plain = run(None)
+
+    # reference cadence (solvers.py:496-497 + callbacks.py PeriodLocal)
+    assert rec_mesh.fired_at == rec_plain.fired_at == [100, 200, 300]
+    # chunking actually happened (fires bound the scans) on BOTH runs
+    assert s_mesh._fit_chunk_sizes == s_plain._fit_chunk_sizes
+    assert len(s_mesh._fit_chunk_sizes) >= 4
+    # speculative pipelining engaged and nothing was discarded
+    assert s_mesh._fit_spec_hits > 0 and s_mesh._fit_spec_misses == 0
+    # trajectory equality: deterministic points => same training signal
+    np.testing.assert_allclose(rec_mesh.loss_seen, rec_plain.loss_seen,
+                               rtol=1e-8)
+    np.testing.assert_allclose(s_mesh.metrics_history['train_loss'],
+                               s_plain.metrics_history['train_loss'],
+                               rtol=1e-8)
+
+
 def test_sharded_residual_weights_match_unsharded():
     """Static residual weights are pure column scaling — sharded and
     unsharded losses must agree to fp tolerance at identical params/points."""
