@@ -26,11 +26,25 @@ def _trial_solution(single_net, nets, params, ts, conditions):
 
 
 def solve(
-        ode, condition, t_min=None, t_max=None,
-        net=None, train_generator=None, valid_generator=None,
-        optimizer=None, criterion=None, n_batches_train=1, n_batches_valid=4,
-        additional_loss_term=None, metrics=None, max_epochs=1000,
-        monitor=None, return_internal=False, return_best=False, batch_size=None, shuffle=None,
+        ode,
+        condition,
+        t_min=None,
+        t_max=None,
+        net=None,
+        train_generator=None,
+        valid_generator=None,
+        optimizer=None,
+        criterion=None,
+        n_batches_train=1,
+        n_batches_valid=4,
+        additional_loss_term=None,
+        metrics=None,
+        max_epochs=1000,
+        monitor=None,
+        return_internal=False,
+        return_best=False,
+        batch_size=None,
+        shuffle=None,
 ):
     r"""**[DEPRECATED]** Train a neural network to solve an ODE
     (use :class:`~neurodiffeq_tpu.solvers.Solver1D` instead).
@@ -39,25 +53,50 @@ def solve(
     :param condition: the initial/boundary condition.
     :return: ``(solution, metrics_history[, internals])``.
     """
-    nets = None if not net else [net]
     return solve_system(
-        ode_system=lambda x, t: [ode(x, t)], conditions=[condition],
-        t_min=t_min, t_max=t_max, nets=nets,
-        train_generator=train_generator, shuffle=shuffle, valid_generator=valid_generator,
-        optimizer=optimizer, criterion=criterion, n_batches_train=n_batches_train,
+        ode_system=lambda x, t: [ode(x, t)],
+        conditions=[condition],
+        t_min=t_min,
+        t_max=t_max,
+        nets=None if not net else [net],
+        train_generator=train_generator,
+        valid_generator=valid_generator,
+        optimizer=optimizer,
+        criterion=criterion,
+        n_batches_train=n_batches_train,
         n_batches_valid=n_batches_valid,
-        additional_loss_term=additional_loss_term, metrics=metrics,
-        batch_size=batch_size, max_epochs=max_epochs, monitor=monitor,
-        return_internal=return_internal, return_best=return_best,
+        additional_loss_term=additional_loss_term,
+        metrics=metrics,
+        max_epochs=max_epochs,
+        monitor=monitor,
+        return_internal=return_internal,
+        return_best=return_best,
+        batch_size=batch_size,
+        shuffle=shuffle,
     )
 
 
 def solve_system(
-        ode_system, conditions, t_min, t_max,
-        single_net=None, nets=None, train_generator=None, valid_generator=None,
-        optimizer=None, criterion=None, n_batches_train=1, n_batches_valid=4,
-        additional_loss_term=None, metrics=None, max_epochs=1000, monitor=None,
-        return_internal=False, return_best=False, batch_size=None, shuffle=None,
+        ode_system,
+        conditions,
+        t_min,
+        t_max,
+        single_net=None,
+        nets=None,
+        train_generator=None,
+        valid_generator=None,
+        optimizer=None,
+        criterion=None,
+        n_batches_train=1,
+        n_batches_valid=4,
+        additional_loss_term=None,
+        metrics=None,
+        max_epochs=1000,
+        monitor=None,
+        return_internal=False,
+        return_best=False,
+        batch_size=None,
+        shuffle=None,
 ):
     r"""**[DEPRECATED]** Train a neural network to solve an ODE system
     (use :class:`~neurodiffeq_tpu.solvers.Solver1D` instead).
@@ -74,7 +113,7 @@ def solve_system(
     if single_net and nets:
         raise ValueError('Only one of net and nets should be specified')
 
-    if (not single_net) and (not nets):
+    if not (single_net or nets):
         single_net = FCNN(
             n_input_units=1,
             n_output_units=len(conditions),
@@ -92,8 +131,7 @@ def solve_system(
             def additional_loss(self, residual, funcs, coords):
                 return additional_loss_term(*funcs, *coords)
     else:
-        class CustomSolver1D(Solver1D):
-            pass
+        CustomSolver1D = Solver1D
 
     solver = CustomSolver1D(
         ode_system=ode_system,

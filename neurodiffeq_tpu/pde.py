@@ -3,18 +3,24 @@ r"""Legacy functional API (v1) for 2-D PDEs + the irregular-domain BC toolkit.
 Capability parity with the reference's ``neurodiffeq/pde.py``:
 ``solve2D``/``solve2D_system`` deprecated wrappers around
 :class:`~neurodiffeq_tpu.solvers.Solver2D` (``pde.py:55-338``),
-``make_animation`` (``pde.py:341-375``), and MacFall's thin-plate-spline
-method for arbitrary 2-D boundaries (``Point``, ``DirichletControlPoint``,
-``NeumannControlPoint``, ``CustomBoundaryCondition``, interpolators —
-``pde.py:378-789``). TPS coefficients are fitted host-side with numpy; the
-interpolators evaluate through Field-aware math so boundary enforcement stays
-differentiable to arbitrary order.
+``make_animation`` (``pde.py:341-375``), and MacFall's length-factor
+thin-plate-spline method for arbitrary 2-D boundaries (``Point``,
+``DirichletControlPoint``, ``NeumannControlPoint``, ``CustomBoundaryCondition``,
+interpolators — ``pde.py:378-789``).
+
+The TPS engine here is array-first: one vectorized host-side numpy solve fits
+every output column of a spline at once, and evaluation — including the length
+factor, which reads all mapped components out of a single RBF basis — happens
+through one fused Field formula so boundary enforcement stays differentiable
+to arbitrary order on the hot path.
 """
 import warnings
 
 import numpy as np
 import matplotlib.pyplot as plt
 import matplotlib.animation as animation
+
+import jax.numpy as jnp
 
 from .networks import FCNN, Tanh
 from .fields import diff
@@ -33,36 +39,75 @@ Solution = warn_deprecate_class(Solution2D)
 
 
 def solve2D(
-        pde, condition, xy_min=None, xy_max=None,
-        net=None, train_generator=None, valid_generator=None, optimizer=None,
-        criterion=None, n_batches_train=1, n_batches_valid=4,
-        additional_loss_term=None, metrics=None, max_epochs=1000,
-        monitor=None, return_internal=False, return_best=False, batch_size=None, shuffle=None,
+        pde,
+        condition,
+        xy_min=None,
+        xy_max=None,
+        net=None,
+        train_generator=None,
+        valid_generator=None,
+        optimizer=None,
+        criterion=None,
+        n_batches_train=1,
+        n_batches_valid=4,
+        additional_loss_term=None,
+        metrics=None,
+        max_epochs=1000,
+        monitor=None,
+        return_internal=False,
+        return_best=False,
+        batch_size=None,
+        shuffle=None,
 ):
     r"""**[DEPRECATED]** Train a neural network to solve a 2-input PDE
     (use :class:`~neurodiffeq_tpu.solvers.Solver2D` instead).
 
     :return: ``(solution, metrics_history[, internals])``.
     """
-    nets = None if not net else [net]
     return solve2D_system(
-        pde_system=lambda u, x, y: [pde(u, x, y)], conditions=[condition],
-        xy_min=xy_min, xy_max=xy_max, nets=nets,
-        train_generator=train_generator, shuffle=shuffle, valid_generator=valid_generator,
-        optimizer=optimizer, criterion=criterion, n_batches_train=n_batches_train,
+        pde_system=lambda u, x, y: [pde(u, x, y)],
+        conditions=[condition],
+        xy_min=xy_min,
+        xy_max=xy_max,
+        nets=None if not net else [net],
+        train_generator=train_generator,
+        valid_generator=valid_generator,
+        optimizer=optimizer,
+        criterion=criterion,
+        n_batches_train=n_batches_train,
         n_batches_valid=n_batches_valid,
-        additional_loss_term=additional_loss_term, metrics=metrics, batch_size=batch_size,
-        max_epochs=max_epochs, monitor=monitor, return_internal=return_internal,
+        additional_loss_term=additional_loss_term,
+        metrics=metrics,
+        max_epochs=max_epochs,
+        monitor=monitor,
+        return_internal=return_internal,
         return_best=return_best,
+        batch_size=batch_size,
+        shuffle=shuffle,
     )
 
 
 def solve2D_system(
-        pde_system, conditions, xy_min=None, xy_max=None,
-        single_net=None, nets=None, train_generator=None, valid_generator=None,
-        optimizer=None, criterion=None, n_batches_train=1, n_batches_valid=4,
-        additional_loss_term=None, metrics=None, max_epochs=1000,
-        monitor=None, return_internal=False, return_best=False, batch_size=None, shuffle=None,
+        pde_system,
+        conditions,
+        xy_min=None,
+        xy_max=None,
+        single_net=None,
+        nets=None,
+        train_generator=None,
+        valid_generator=None,
+        optimizer=None,
+        criterion=None,
+        n_batches_train=1,
+        n_batches_valid=4,
+        additional_loss_term=None,
+        metrics=None,
+        max_epochs=1000,
+        monitor=None,
+        return_internal=False,
+        return_best=False,
+        batch_size=None,
+        shuffle=None,
 ):
     r"""**[DEPRECATED]** Train a neural network to solve a system of 2-input PDEs
     (use :class:`~neurodiffeq_tpu.solvers.Solver2D` instead).
@@ -76,7 +121,7 @@ def solve2D_system(
     if single_net and nets:
         raise ValueError('Only one of net and nets should be specified')
 
-    if (not single_net) and (not nets):
+    if not (single_net or nets):
         single_net = FCNN(
             n_input_units=2,
             n_output_units=len(conditions),
@@ -94,8 +139,7 @@ def solve2D_system(
             def additional_loss(self, residual, funcs, coords):
                 return additional_loss_term(*funcs, *coords)
     else:
-        class CustomSolver2D(Solver2D):
-            pass
+        CustomSolver2D = Solver2D
 
     solver = CustomSolver2D(
         pde_system=pde_system,
@@ -134,26 +178,22 @@ def make_animation(solution, xs, ts):
     :rtype: ``matplotlib.animation.FuncAnimation``
     """
     xx, tt = np.meshgrid(xs, ts)
-    sol_net = solution(xx, tt, to_numpy=True)
-
-    def u_gen():
-        for net in sol_net:
-            yield net
+    frames = solution(xx, tt, to_numpy=True)
 
     fig, ax = plt.subplots()
     line, = ax.plot([], [], lw=2)
 
-    umin, umax = sol_net.min(), sol_net.max()
-    scale = umax - umin
-    ax.set_ylim(umin - scale * 0.1, umax + scale * 0.1)
+    lo, hi = frames.min(), frames.max()
+    pad = (hi - lo) * 0.1
+    ax.set_ylim(lo - pad, hi + pad)
     ax.set_xlim(xs.min(), xs.max())
 
-    def run(data):
-        line.set_data(xs, data)
-        return line,
+    def draw(frame):
+        line.set_data(xs, frame)
+        return (line,)
 
     return animation.FuncAnimation(
-        fig, run, u_gen, blit=True, interval=50, repeat=False
+        fig, draw, iter(frames), blit=True, interval=50, repeat=False,
     )
 
 
@@ -171,12 +211,12 @@ class Point:
     :param loc: location as ``(x, y)``.
     """
 
+    def __init__(self, loc):
+        self.loc = tuple(map(float, loc))
+        self.dim = len(self.loc)
+
     def __repr__(self):
         return f'Point({self.loc})'
-
-    def __init__(self, loc):
-        self.loc = tuple(float(d) for d in loc)
-        self.dim = len(loc)
 
 
 class DirichletControlPoint(Point):
@@ -186,12 +226,12 @@ class DirichletControlPoint(Point):
     :param val: expected value of u at this location.
     """
 
-    def __repr__(self):
-        return f'DirichletControlPoint({self.loc}, val={self.val})'
-
     def __init__(self, loc, val):
         super().__init__(loc)
         self.val = float(val)
+
+    def __repr__(self):
+        return f'DirichletControlPoint({self.loc}, val={self.val})'
 
 
 class NeumannControlPoint(Point):
@@ -202,15 +242,85 @@ class NeumannControlPoint(Point):
     :param normal_vector: outward normal at this location (normalized here).
     """
 
+    def __init__(self, loc, val, normal_vector):
+        super().__init__(loc)
+        self.val = float(val)
+        norm = float(np.linalg.norm(normal_vector))
+        self.normal_vector = tuple(float(c) / norm for c in normal_vector)
+
     def __repr__(self):
         return (f'NeumannControlPoint({self.loc}, val={self.val}, '
                 f'normal_vector={self.normal_vector})')
 
-    def __init__(self, loc, val, normal_vector):
-        super().__init__(loc)
-        self.val = float(val)
-        scale = sum(d ** 2 for d in normal_vector) ** 0.5
-        self.normal_vector = tuple(d / scale for d in normal_vector)
+
+def _locs(points):
+    """(M, d) float64 array of point locations."""
+    return np.asarray([p.loc for p in points], dtype=np.float64)
+
+
+class _ThinPlateSpline:
+    r"""Array-backed thin-plate spline with K output columns.
+
+    .. math:: u_k(p) = \sum_i W_{ik}\,\phi(q_i(p)) + A_{0k} + p \cdot A_{1:,k}
+
+    with :math:`\phi(q) = q \log q` and :math:`q_i(p) = |p - c_i|^2 + s^2`.
+    The fit is ONE vectorized construction (broadcasted pairwise distances)
+    and ONE multi-right-hand-side ``np.linalg.solve`` under the standard
+    polynomial-orthogonality constraints :math:`\sum_i W_{ik} = 0`,
+    :math:`\sum_i W_{ik} c_i = 0` — the same system the reference assembles
+    row-by-row in Python and solves once per column
+    (``/root/reference/neurodiffeq/pde.py:649-694``).
+    """
+
+    def __init__(self, centers, targets, stiffness=0.01):
+        centers = np.asarray(centers, dtype=np.float64)             # (M, d)
+        targets = np.asarray(targets, dtype=np.float64)             # (M,) or (M, K)
+        if targets.ndim == 1:
+            targets = targets[:, None]
+        m, d = centers.shape
+
+        q = ((centers[:, None, :] - centers[None, :, :]) ** 2).sum(-1) + stiffness ** 2
+        poly = np.concatenate([np.ones((m, 1)), centers], axis=1)   # (M, d+1)
+        lhs = np.zeros((m + d + 1, m + d + 1))
+        lhs[:m, :m] = q * np.log(q)
+        lhs[:m, m:] = poly
+        lhs[m:, :m] = poly.T
+        rhs = np.zeros((m + d + 1, targets.shape[1]))
+        rhs[:m] = targets
+
+        solution = np.linalg.solve(lhs, rhs)
+        self.centers = centers
+        self.stiffness = stiffness
+        self.kernel_weights = solution[:m]                          # (M, K)
+        self.affine = solution[m:]                                  # (d+1, K)
+        self.n_outputs = targets.shape[1]
+
+    def formula(self, pts):
+        """Shape-polymorphic jnp evaluation: ``pts (..., d) -> (..., K)``.
+
+        All K columns share the ``(..., M)`` RBF basis, so evaluating a
+        multi-component spline costs one distance matrix, not K.
+        """
+        q = ((pts[..., None, :] - self.centers) ** 2).sum(-1) + self.stiffness ** 2
+        return (q * jnp.log(q)) @ self.kernel_weights + self.affine[0] + pts @ self.affine[1:]
+
+    def eval_np(self, dimensions):
+        """Numpy evaluation for monitor masks: same-shaped coordinate arrays
+        in, ``shape + (K,)`` out."""
+        dims = [np.asarray(d, dtype=np.float64) for d in dimensions]
+        pts = np.stack([d.reshape(-1) for d in dims], axis=-1)
+        q = ((pts[:, None, :] - self.centers) ** 2).sum(-1) + self.stiffness ** 2
+        out = (q * np.log(q)) @ self.kernel_weights + self.affine[0] + pts @ self.affine[1:]
+        return out.reshape(dims[0].shape + (self.n_outputs,))
+
+
+def _stack_samples(vals):
+    """Stack per-sample scalars (or (N, 1) columns) into a ``(..., d)`` point."""
+    return jnp.stack([jnp.reshape(v, (-1,) if jnp.ndim(v) else ()) for v in vals], axis=-1)
+
+
+def _as_column(out):
+    return out[..., None] if out.ndim else out
 
 
 class CustomBoundaryCondition(IrregularBoundaryCondition):
@@ -230,24 +340,22 @@ class CustomBoundaryCondition(IrregularBoundaryCondition):
     def __init__(self, center_point, dirichlet_control_points, neumann_control_points=None):
         super().__init__()
 
-        self.dirichlet_control_points = self._clean_control_points(dirichlet_control_points, center_point)
-        # A_D(x) in MacFall's paper
-        self.a_d_interp = InterpolatorCreator.fit_surface(self.dirichlet_control_points)
-        # L_D(x) in MacFall's paper
-        self.l_d_interp = InterpolatorCreator.fit_length_factor(self.dirichlet_control_points)
+        dirichlet = self._clean_control_points(dirichlet_control_points, center_point)
+        self.dirichlet_control_points = dirichlet
+        # A_D / L_D in MacFall's paper: the Dirichlet surface and its length factor
+        self.a_d_interp = InterpolatorCreator.fit_surface(dirichlet)
+        self.l_d_interp = InterpolatorCreator.fit_length_factor(dirichlet)
 
-        if neumann_control_points is None:
-            neumann_control_points = []
-        if len(neumann_control_points) > 0:
-            self.neumann_control_points = self._clean_control_points(neumann_control_points, center_point)
-            self.g_interp = InterpolatorCreator.fit_surface(self.neumann_control_points)
-            self.l_m_interp = InterpolatorCreator.fit_length_factor(self.neumann_control_points)
-            self.n_hat_interp = InterpolatorCreator.fit_normal_vector(self.neumann_control_points)
-        else:
-            self.neumann_control_points = None
-            self.g_interp = None
-            self.l_m_interp = None
-            self.n_hat_interp = None
+        self.neumann_control_points = None
+        self.g_interp = None
+        self.l_m_interp = None
+        self.n_hat_interp = None
+        if neumann_control_points is not None and len(neumann_control_points) > 0:
+            neumann = self._clean_control_points(neumann_control_points, center_point)
+            self.neumann_control_points = neumann
+            self.g_interp = InterpolatorCreator.fit_surface(neumann)
+            self.l_m_interp = InterpolatorCreator.fit_length_factor(neumann)
+            self.n_hat_interp = InterpolatorCreator.fit_normal_vector(neumann)
 
     def a_d(self, *dimensions):
         return self.a_d_interp.interpolate(dimensions)
@@ -270,26 +378,26 @@ class CustomBoundaryCondition(IrregularBoundaryCondition):
         return self.n_hat_interp.interpolate(dimensions)
 
     def a_m(self, net, params, *dimensions):
-        # A_M(x) in MacFall's paper (Neumann term)
+        """A_M(x) in MacFall's paper (the Neumann correction term)."""
         if self.neumann_control_points is None:
             return 0.0
 
-        fs = self.f(net, params, *dimensions)
-        a_ds = self.a_d(*dimensions)
-        l_ds = self.l_d(*dimensions)
-        l_ms = self.l_m(*dimensions)
-        n_hats = self.n_hat(*dimensions)
+        n_hat = self.n_hat(*dimensions)
 
-        numer = self.g(*dimensions) - sum(
-            nk * (diff(a_ds, d) + diff(fs, d))
-            for nk, d in zip(n_hats, dimensions)
-        )
-        denom = l_ds * sum(
-            nk * diff(l_ms, d)
-            for nk, d in zip(n_hats, dimensions)
-        ) + K * (1 - F.exp(-ALPHA * l_ms))
+        def d_normal(field):
+            """Directional derivative of ``field`` along the interpolated normal."""
+            total = 0.0
+            for nk, coord in zip(n_hat, dimensions):
+                total = total + nk * diff(field, coord)
+            return total
 
-        return l_ds * l_ms * numer / denom
+        l_d_val = self.l_d(*dimensions)
+        l_m_val = self.l_m(*dimensions)
+        numer = (self.g(*dimensions)
+                 - d_normal(self.a_d(*dimensions))
+                 - d_normal(self.f(net, params, *dimensions)))
+        denom = l_d_val * d_normal(l_m_val) + K * (1 - F.exp(-ALPHA * l_m_val))
+        return l_d_val * l_m_val * numer / denom
 
     def in_domain(self, *dimensions):
         """Mask for monitors: positive length factor(s) == inside the domain."""
@@ -305,254 +413,127 @@ class CustomBoundaryCondition(IrregularBoundaryCondition):
 
     @staticmethod
     def _clean_control_points(control_points, center_point):
-        """Drop near-duplicate control points and sort them clockwise around
-        ``center_point`` (so they map to ordered points on a circle)."""
+        """Sort control points clockwise around ``center_point`` — starting
+        from the +x direction, matching the circular-target parameterization
+        in :meth:`InterpolatorCreator.fit_length_factor` — and drop adjacent
+        near-duplicates.
 
-        def gt_zero(number):
-            return number >= ROUND_TO_ZERO
+        Offsets within ``ROUND_TO_ZERO`` of an axis are snapped onto it before
+        taking the angle, so points nominally on the +x axis sort first
+        instead of straddling the 0/2pi seam.
+        """
+        deltas = _locs(control_points) - center_point.loc
+        deltas[np.abs(deltas) < ROUND_TO_ZERO] = 0.0
+        clockwise_angle = (-np.arctan2(deltas[:, 1], deltas[:, 0])) % (2.0 * np.pi)
+        ordered = [control_points[i] for i in np.argsort(clockwise_angle, kind='stable')]
 
-        def lt_zero(number):
-            return number <= -ROUND_TO_ZERO
-
-        def eq_zero(number):
-            return abs(number) < ROUND_TO_ZERO
-
-        def clockwise(cp):
-            px, py = cp.loc
-            cx, cy = center_point.loc
-            dx, dy = px - cx, py - cy
-            if gt_zero(dx) and eq_zero(dy):
-                tier = 0
-            elif gt_zero(dx) and lt_zero(dy):
-                tier = 1
-            elif eq_zero(dx) and lt_zero(dy):
-                tier = 2
-            elif lt_zero(dx) and lt_zero(dy):
-                tier = 3
-            elif lt_zero(dx) and eq_zero(dy):
-                tier = 4
-            elif lt_zero(dx) and gt_zero(dy):
-                tier = 5
-            elif eq_zero(dx) and gt_zero(dy):
-                tier = 6
-            elif gt_zero(dx) and gt_zero(dy):
-                tier = 7
-            return (tier, dx / dy if not eq_zero(dy) else 0)
-
-        control_points.sort(key=clockwise)
-
-        def same_point(p1, p2):
-            return eq_zero(p1.loc[0] - p2.loc[0]) and eq_zero(p1.loc[1] - p2.loc[1])
-
-        unique_control_points = [control_points[0]]
-        for cp in control_points[1:]:
-            if not same_point(cp, unique_control_points[-1]):
-                unique_control_points.append(cp)
-        return unique_control_points
+        kept = [ordered[0]]
+        for cp in ordered[1:]:
+            if not np.allclose(cp.loc, kept[-1].loc, rtol=0.0, atol=ROUND_TO_ZERO):
+                kept.append(cp)
+        return kept
 
 
 class InterpolatorCreator:
-    """Factory fitting thin-plate-spline interpolators (host-side numpy solve
-    of the (M + dim + 1)^2 system; reference ``pde.py:649-694``)."""
+    """Factory fitting thin-plate-spline interpolators. Each fit is a single
+    vectorized :class:`_ThinPlateSpline` solve (multi-column where the
+    reference solves per-column; ``/root/reference/neurodiffeq/pde.py:649-694``)."""
 
     @staticmethod
     def fit_surface(dirichlet_or_neumann_control_points):
-        from_points = dirichlet_or_neumann_control_points
-        to_values = [dncp.val for dncp in dirichlet_or_neumann_control_points]
-        coefs = InterpolatorCreator._solve_thin_plate_spline(from_points, to_values)
-        return SurfaceInterpolator(coefs, dirichlet_or_neumann_control_points)
+        points = dirichlet_or_neumann_control_points
+        spline = _ThinPlateSpline(_locs(points), [p.val for p in points])
+        return SurfaceInterpolator(spline, points)
 
     @staticmethod
     def fit_length_factor(control_points, radius=0.5):
-        from_points = control_points
-        to_points = InterpolatorCreator._create_circular_targets(control_points, radius)
-        n_dim = to_points[0].dim
-        to_values_each_dim = [[tp.loc[i] for tp in to_points] for i in range(n_dim)]
-        coefs_each_dim = [
-            InterpolatorCreator._solve_thin_plate_spline(from_points, to_values)
-            for to_values in to_values_each_dim
-        ]
-        return LengthFactorInterpolator(coefs_each_dim, control_points, radius)
+        # Map the (clockwise-sorted) boundary onto equally-spaced clockwise
+        # targets on a circle of the given radius.
+        theta = -2.0 * np.pi * np.arange(len(control_points)) / len(control_points)
+        targets = radius * np.stack([np.cos(theta), np.sin(theta)], axis=1)
+        spline = _ThinPlateSpline(_locs(control_points), targets)
+        return LengthFactorInterpolator(spline, control_points, radius)
 
     @staticmethod
     def fit_normal_vector(neumann_control_points):
-        from_points = neumann_control_points
-        to_points = [
-            Point(loc=(ncp.normal_vector[0], ncp.normal_vector[1]))
-            for ncp in neumann_control_points
-        ]
-        n_dim = to_points[0].dim
-        to_values_each_dim = [[tp.loc[i] for tp in to_points] for i in range(n_dim)]
-        coefs_each_dim = [
-            InterpolatorCreator._solve_thin_plate_spline(from_points, to_values)
-            for to_values in to_values_each_dim
-        ]
-        return NormalVectorInterpolator(coefs_each_dim, neumann_control_points)
-
-    @staticmethod
-    def _solve_thin_plate_spline(from_points, to_values):
-        assert len(from_points) == len(to_values)
-        n_dims = from_points[0].dim
-        n_pnts = len(from_points)
-        n_eqs = n_dims + n_pnts + 1
-
-        def equation_weights(eq_no):
-            weights = np.zeros(n_eqs)
-            if eq_no < n_pnts:
-                p = from_points[eq_no]
-                for i, fp in enumerate(from_points):
-                    ri_sq = Interpolator._ri_sq_thin_plate_spline_pretrain(p, fp)
-                    weights[i] = ri_sq * np.log(ri_sq)
-                weights[n_pnts] = 1.0
-                for j in range(n_dims):
-                    weights[n_pnts + 1 + j] = p.loc[j]
-            elif eq_no < n_pnts + n_dims:
-                j = eq_no - n_pnts
-                for i in range(n_pnts):
-                    weights[i] = from_points[i].loc[j]
-            elif eq_no == n_pnts + n_dims:
-                weights[:n_pnts] = 1.0
-            else:
-                raise ValueError(f'Invalid equation number: {eq_no}')
-            return weights
-
-        W = np.zeros((n_eqs, n_eqs))
-        for eq_no in range(n_eqs):
-            W[eq_no] = equation_weights(eq_no)
-        b = np.zeros(n_eqs)
-        b[:n_pnts] = to_values
-        return np.linalg.solve(W, b)
-
-    @staticmethod
-    def _create_circular_targets(control_points, radius):
-        return [
-            Point((radius * np.cos(theta), radius * np.sin(theta)))
-            for theta in -np.linspace(0, 2 * np.pi, len(control_points), endpoint=False)
-        ]
+        targets = np.asarray([p.normal_vector for p in neumann_control_points])
+        spline = _ThinPlateSpline(_locs(neumann_control_points), targets)
+        return NormalVectorInterpolator(spline, neumann_control_points)
 
 
 class Interpolator:
     """Thin-plate-spline evaluation; Field-aware (``interpolate``) for the
     differentiated training path, numpy (``interpolate_np``) for monitor masks.
 
-    The Field path evaluates the whole M-point TPS basis as ONE vectorized
-    per-sample computation (distances to an (M, 2) constant, a log, two dot
-    products) rather than a Python loop over control points — this keeps the
-    traced XLA graph O(1) in the number of control points, which matters
-    because the enforced solution (and its second derivatives) differentiate
-    through the spline."""
+    The Field path evaluates the whole M-point TPS basis as ONE fused
+    shape-polymorphic formula wrapped in ``composite`` (a single Taylor rule),
+    keeping the traced XLA graph O(1) in the number of control points — which
+    matters because the enforced solution (and its second derivatives)
+    differentiate through the spline."""
+
+    def __init__(self, spline, control_points):
+        self.spline = spline
+        self.control_points = control_points
 
     def interpolate(self, dimensions):
+        if not any(isinstance(d, F.Field) for d in dimensions):
+            return self.interpolate_np(dimensions)
+        return self._interpolate_fields(dimensions)
+
+    def _interpolate_fields(self, dimensions):
         raise NotImplementedError  # pragma: no cover
 
-    @staticmethod
-    def _interpolate_by_thin_plate_spline(coefs, control_points, dimensions, stiffness=0.01):
-        from .fields import Field, composite
-        import jax.numpy as jnp
-
-        fields = [d for d in dimensions if isinstance(d, Field)]
-        if not fields:
-            return Interpolator._interpolate_np(coefs, control_points, dimensions)
-
-        n_pnts = len(control_points)
-        cp_locs = np.asarray([cp.loc for cp in control_points])          # (M, d)
-        w_basis = np.asarray(coefs[:n_pnts])                             # (M,)
-        w_const = float(coefs[n_pnts])
-        w_linear = np.asarray(coefs[n_pnts + 1:])                        # (d,)
-
-        def tps(*vals):
-            # shape-polymorphic: per-sample scalars or (N, 1) columns
-            pt = jnp.stack([jnp.reshape(v, (-1,) if jnp.ndim(v) else ()) for v in vals], axis=-1)
-            diff2 = (pt[..., None, :] - cp_locs) ** 2                    # (..., M, d)
-            r2 = diff2.sum(axis=-1) + stiffness ** 2                     # (..., M)
-            out = (w_basis * (r2 * jnp.log(r2))).sum(axis=-1) + w_const + (pt * w_linear).sum(axis=-1)
-            return out[..., None] if out.ndim else out
-
-        # `composite` gives the interpolant a Taylor rule (one fused expression),
-        # so irregular-boundary enforcement joins the hot evaluation path
-        return composite(tps, *dimensions)
-
-    @staticmethod
-    def _interpolate_np(coefs, control_points, dimensions):
-        n_pnts = len(control_points)
-        dims = [np.asarray(d, dtype=np.float64) for d in dimensions]
-        to_value = np.zeros_like(dims[0])
-        for coef, cp in zip(coefs, control_points):
-            ri_sq = sum((d - di) ** 2 for di, d in zip(cp.loc, dims)) + 0.01 ** 2
-            to_value = to_value + coef * ri_sq * np.log(ri_sq)
-        to_value = to_value + coefs[n_pnts]
-        for j, d in enumerate(dims):
-            to_value = to_value + coefs[n_pnts + 1 + j] * d
-        return to_value
-
-    @staticmethod
-    def _ri_sq_thin_plate_spline_pretrain(point_i, point_j, stiffness=0.01):
-        return sum((di - dj) ** 2 for di, dj in zip(point_i.loc, point_j.loc)) + stiffness ** 2
-
-    @staticmethod
-    def _ri_sq_thin_plate_spline_trainval(point_i, dimensions, stiffness=0.01):
-        return sum((d - di) ** 2 for di, d in zip(point_i.loc, dimensions)) + stiffness ** 2
+    def interpolate_np(self, dimensions):
+        raise NotImplementedError  # pragma: no cover
 
 
 class SurfaceInterpolator(Interpolator):
     """Interpolates (x, y) -> A_D(x, y)."""
 
-    def __init__(self, coefs, control_points):
-        self.coefs = coefs
-        self.control_points = control_points
+    def _interpolate_fields(self, dimensions):
+        def surface(*vals):
+            return _as_column(self.spline.formula(_stack_samples(vals))[..., 0])
 
-    def interpolate(self, dimensions):
-        return Interpolator._interpolate_by_thin_plate_spline(
-            self.coefs, self.control_points, dimensions
-        )
+        return F.composite(surface, *dimensions)
 
     def interpolate_np(self, dimensions):
-        return Interpolator._interpolate_np(self.coefs, self.control_points, dimensions)
+        return self.spline.eval_np(dimensions)[..., 0]
 
 
 class LengthFactorInterpolator(Interpolator):
-    """Interpolates (x, y) -> L_D(x, y) = radius^2 - |TPS-mapped point|^2."""
+    """Interpolates (x, y) -> L_D(x, y) = radius^2 - |TPS-mapped point|^2.
 
-    def __init__(self, coefs_each_dim, control_points, radius):
-        self.coefs_each_dim = coefs_each_dim
-        self.control_points = control_points
+    Both mapped components come out of one shared RBF basis inside ONE
+    composite formula — one Taylor rule for the whole length factor."""
+
+    def __init__(self, spline, control_points, radius):
+        super().__init__(spline, control_points)
         self.radius = radius
 
-    def interpolate(self, dimensions):
-        dimensions_mapped = tuple(
-            Interpolator._interpolate_by_thin_plate_spline(
-                coefs_dim, self.control_points, dimensions
-            )
-            for coefs_dim in self.coefs_each_dim
-        )
-        return self.radius ** 2 - sum(d ** 2 for d in dimensions_mapped)
+    def _interpolate_fields(self, dimensions):
+        def length_factor(*vals):
+            mapped = self.spline.formula(_stack_samples(vals))
+            return _as_column(self.radius ** 2 - (mapped ** 2).sum(axis=-1))
+
+        return F.composite(length_factor, *dimensions)
 
     def interpolate_np(self, dimensions):
-        dimensions_mapped = tuple(
-            Interpolator._interpolate_np(coefs_dim, self.control_points, dimensions)
-            for coefs_dim in self.coefs_each_dim
-        )
-        return self.radius ** 2 - sum(d ** 2 for d in dimensions_mapped)
+        mapped = self.spline.eval_np(dimensions)
+        return self.radius ** 2 - (mapped ** 2).sum(axis=-1)
 
 
 class NormalVectorInterpolator(Interpolator):
     """Interpolates (x, y) -> n_hat(x, y) on the Neumann boundary."""
 
-    def __init__(self, coefs_each_dim, neumann_control_points):
-        self.coefs_each_dim = coefs_each_dim
-        self.neumann_control_points = neumann_control_points
+    def _interpolate_fields(self, dimensions):
+        def component(j):
+            def n_hat_j(*vals):
+                return _as_column(self.spline.formula(_stack_samples(vals))[..., j])
 
-    def interpolate(self, dimensions):
-        dimensions_mapped = tuple(
-            Interpolator._interpolate_by_thin_plate_spline(
-                coefs_dim, self.neumann_control_points, dimensions
-            )
-            for coefs_dim in self.coefs_each_dim
-        )
-        return dimensions_mapped
+            return F.composite(n_hat_j, *dimensions)
+
+        return tuple(component(j) for j in range(self.spline.n_outputs))
 
     def interpolate_np(self, dimensions):
-        return tuple(
-            Interpolator._interpolate_np(coefs_dim, self.neumann_control_points, dimensions)
-            for coefs_dim in self.coefs_each_dim
-        )
+        mapped = self.spline.eval_np(dimensions)
+        return tuple(mapped[..., j] for j in range(self.spline.n_outputs))
