@@ -17,7 +17,8 @@ import warnings
 import jax
 import jax.numpy as jnp
 
-__all__ = ['FCNN', 'Resnet', 'MonomialNN', 'Tanh', 'SinActv', 'Swish', 'APTx']
+__all__ = ['FCNN', 'Resnet', 'MonomialNN', 'FourierFCNN',
+           'Tanh', 'SinActv', 'Swish', 'APTx']
 
 
 def _linear_init(key, n_in, n_out, dtype):
@@ -331,6 +332,82 @@ class Resnet(Module):
         skip = affine_series(series, params['skip_W'])
         res = self.residual.taylor_apply(params['residual'], series, ctx)
         return add_series(skip, res)
+
+
+class FourierFCNN(Module):
+    r"""FCNN over random Fourier features: ``x -> [cos(xB), sin(xB)] -> FCNN``
+    with ``B[i,j] ~ N(0, (2*pi*sigma)^2)`` fixed at initialization.
+
+    No reference counterpart (beyond `/root/reference/neurodiffeq/networks.py`,
+    which stops at FCNN/Resnet/MonomialNN): random Fourier embeddings are the
+    standard remedy for the spectral bias of coordinate MLPs (Tancik et al.
+    2020; Wang et al. 2021 for PINNs) — a plain tanh FCNN needs orders of
+    magnitude more epochs to fit solutions with O(k) oscillations, while the
+    embedding makes frequency-k content a *linear* function of the features.
+
+    :param n_input_units: Number of coordinate inputs, defaults to 1.
+    :type n_input_units: int
+    :param n_output_units: Number of outputs, defaults to 1.
+    :type n_output_units: int
+    :param n_features: Number of random frequencies; the FCNN sees
+        ``2 * n_features`` inputs (cos and sin of each), defaults to 64.
+    :type n_features: int
+    :param sigma: Frequency bandwidth — frequencies are drawn from
+        ``N(0, (2*pi*sigma)^2)``, so ``sigma`` is roughly the highest
+        frequency (in cycles per unit length) the network fits easily;
+        set it to the expected frequency content of the solution.
+        Defaults to 1.0.
+    :type sigma: float
+    :param actv: Activation constructor for the FCNN, defaults to :class:`Tanh`.
+    :param hidden_units: FCNN hidden widths, defaults to ``(32, 32)``.
+    :type hidden_units: Tuple[int]
+
+    ``B`` lives in the params pytree (so checkpoints round-trip it) but is
+    wrapped in ``stop_gradient`` — it stays at its initialized value under
+    any first-order optimizer.
+    """
+
+    def __init__(self, n_input_units=1, n_output_units=1, n_features=64,
+                 sigma=1.0, actv=Tanh, hidden_units=(32, 32)):
+        self.n_input_units = n_input_units
+        self.n_output_units = n_output_units
+        self.n_features = int(n_features)
+        self.sigma = float(sigma)
+        self.fcnn = FCNN(n_input_units=2 * self.n_features,
+                         n_output_units=n_output_units,
+                         actv=actv, hidden_units=hidden_units)
+
+    def init(self, key, dtype=None):
+        from .utils import get_default_dtype
+        dtype = dtype or get_default_dtype()
+        bkey, fkey = jax.random.split(key)
+        B = (2.0 * jnp.pi * self.sigma) * jax.random.normal(
+            bkey, (self.n_input_units, self.n_features), dtype=dtype)
+        return {'B': B, 'fcnn': self.fcnn.init(fkey, dtype=dtype)}
+
+    def apply(self, params, x):
+        z = x @ jax.lax.stop_gradient(params['B'])
+        feats = jnp.concatenate([jnp.cos(z), jnp.sin(z)], axis=-1)
+        return self.fcnn.apply(params['fcnn'], feats)
+
+    @property
+    def supports_taylor(self):
+        return self.fcnn.supports_taylor
+
+    def taylor_apply(self, params, series, ctx):
+        from .ops.taylor import affine_series, elementwise_series, concat_series
+        z = affine_series(series, jax.lax.stop_gradient(params['B']))
+        feats = concat_series(
+            [elementwise_series(jnp.cos, [z], ctx.order, ctx.n_dirs),
+             elementwise_series(jnp.sin, [z], ctx.order, ctx.n_dirs)],
+            ctx.order, ctx.n_dirs)
+        return self.fcnn.taylor_apply(params['fcnn'], feats, ctx)
+
+    def __repr__(self):
+        return (f"FourierFCNN(n_input_units={self.n_input_units}, "
+                f"n_output_units={self.n_output_units}, "
+                f"n_features={self.n_features}, sigma={self.sigma}, "
+                f"hidden_units={self.fcnn.hidden_units})")
 
 
 class MonomialNN(Module):

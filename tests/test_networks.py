@@ -180,3 +180,114 @@ def test_fcnn_tanh_forward_value():
     expected = np.tanh(x @ W0 + b0) @ W1 + b1
     out = np.asarray(net.apply(params, jnp.asarray(x)))
     assert np.allclose(out, expected, atol=1e-6)
+
+
+def test_fourier_fcnn_shapes_and_formula():
+    """FourierFCNN: embedding is [cos(xB), sin(xB)] -> FCNN, batch == single."""
+    from neurodiffeq_tpu.networks import FourierFCNN
+    net = FourierFCNN(n_input_units=2, n_output_units=3, n_features=8,
+                      sigma=2.0, hidden_units=(16,))
+    params = net.init(jax.random.PRNGKey(0))
+    assert params['B'].shape == (2, 8)
+    x = np.random.rand(10, 2)
+    y = np.asarray(net.apply(params, jnp.asarray(x)))
+    assert y.shape == (10, 3)
+    y1 = np.asarray(net.apply(params, jnp.asarray(x[0])))
+    assert y1.shape == (3,)
+    assert np.allclose(y1, y[0], atol=1e-12)
+    # hand-evaluate the embedding + inner FCNN
+    z = x @ np.asarray(params['B'])
+    feats = np.concatenate([np.cos(z), np.sin(z)], axis=-1)
+    expected = np.asarray(net.fcnn.apply(params['fcnn'], jnp.asarray(feats)))
+    assert np.allclose(y, expected, atol=1e-6)
+
+
+def test_fourier_fcnn_taylor_matches_compose():
+    """Batched Taylor propagation through the Fourier embedding agrees with
+    per-sample compose-mode autodiff on 1st and 2nd derivatives."""
+    from neurodiffeq_tpu import fields as F
+    from neurodiffeq_tpu.fields import diff
+    from neurodiffeq_tpu.networks import FourierFCNN
+
+    net = FourierFCNN(n_input_units=1, n_output_units=1, n_features=6,
+                      sigma=1.5, hidden_units=(8,))
+    assert net.supports_taylor
+    params = net.init(jax.random.PRNGKey(7))
+    t, = F.coordinates(np.linspace(-1, 1, 29))
+    u = F.network_field(lambda xs: net.apply(params, xs), (t,),
+                        module=net, params=params)
+    F.set_eval_mode('taylor')
+    d1_taylor = np.asarray(diff(u, t).value)
+    d2_taylor = np.asarray(diff(u, t, 2).value)
+    F.set_eval_mode('compose')
+    u2 = F.network_field(lambda xs: net.apply(params, xs), (t,))
+    d1_compose = np.asarray(diff(u2, t).value)
+    d2_compose = np.asarray(diff(u2, t, 2).value)
+    F.set_eval_mode('taylor')
+    assert np.allclose(d1_taylor, d1_compose, atol=1e-4)
+    assert np.allclose(d2_taylor, d2_compose, atol=1e-4)
+
+
+def test_fourier_fcnn_B_frozen_under_training():
+    """The random frequency matrix must not move under gradient training."""
+    from neurodiffeq_tpu import fields as F
+    from neurodiffeq_tpu.fields import diff
+    from neurodiffeq_tpu.solvers import Solver1D
+    from neurodiffeq_tpu.conditions import IVP
+    from neurodiffeq_tpu.networks import FourierFCNN
+
+    net = FourierFCNN(n_input_units=1, n_output_units=1, n_features=8,
+                      hidden_units=(8,))
+    solver = Solver1D(ode_system=lambda u, t: [diff(u, t) + u],
+                      conditions=[IVP(0.0, 1.0)], t_min=0.0, t_max=1.0,
+                      nets=[net])
+    B0 = np.asarray(jax.tree.leaves({'B': solver.params[0]['B']})[0]).copy()
+    solver.fit(max_epochs=10, tqdm_file=None)
+    B1 = np.asarray(solver.params[0]['B'])
+    assert np.array_equal(B0, B1), "frequency matrix B moved under training"
+    # ...while the inner FCNN's weights did move
+    W0 = np.asarray(solver.params[0]['fcnn']['layers'][0]['W'])
+    solver.fit(max_epochs=10, tqdm_file=None)
+    W1 = np.asarray(solver.params[0]['fcnn']['layers'][0]['W'])
+    assert not np.array_equal(W0, W1)
+
+
+def test_fourier_fcnn_beats_plain_fcnn_on_high_frequency():
+    """The point of the embedding: on u'' = -(2 pi k)^2 sin(2 pi k t) with
+    k=3, a FourierFCNN reaches ~2e-2 max error in 2000 epochs while a
+    same-size plain tanh FCNN is still ~1.4 off (spectral bias); measured
+    at lr=3e-3: fourier 0.017 vs plain 1.42 (plain does no better at 1e-2)."""
+    import optax
+    from neurodiffeq_tpu.fields import diff
+    from neurodiffeq_tpu import fields as F
+    from neurodiffeq_tpu.solvers import Solver1D
+    from neurodiffeq_tpu.conditions import DirichletBVP
+    from neurodiffeq_tpu.networks import FourierFCNN
+    from neurodiffeq_tpu.generators import Generator1D
+
+    k = 3.0
+    w = 2 * np.pi * k
+
+    def ode(u, t):
+        return [diff(u, t, 2) + w ** 2 * F.sin(w * t)]
+
+    def solve(net, epochs=2000):
+        s = Solver1D(ode_system=ode,
+                     conditions=[DirichletBVP(0.0, 0.0, 1.0, 0.0)],
+                     t_min=0.0, t_max=1.0, nets=[net],
+                     optimizer=optax.adam(3e-3),
+                     train_generator=Generator1D(64, 0.0, 1.0,
+                                                 method='equally-spaced-noisy'),
+                     valid_generator=Generator1D(64, 0.0, 1.0,
+                                                 method='equally-spaced'))
+        s.fit(max_epochs=epochs, tqdm_file=None)
+        ts = np.linspace(0, 1, 201)
+        pred = np.asarray(s.get_solution(best=False)(ts))
+        return float(np.max(np.abs(pred - np.sin(w * ts))))
+
+    err_fourier = solve(FourierFCNN(n_features=32, sigma=3.0,
+                                    hidden_units=(32, 32)))
+    err_plain = solve(FCNN(hidden_units=(32, 32)))
+    assert err_fourier < 0.08, f"FourierFCNN failed to fit k=3: {err_fourier}"
+    assert err_fourier < err_plain / 5, (
+        f"embedding gave no advantage: fourier {err_fourier} vs plain {err_plain}")
