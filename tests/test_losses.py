@@ -117,3 +117,77 @@ def test_solver_accepts_loss_name(loss_name):
     losses = solver.metrics_history['train_loss']
     assert len(losses) == 3
     assert all(np.isfinite(l) and l >= 0 for l in losses)
+
+
+def test_causal_loss_value_matches_hand_computation():
+    """causal(): sort by t, bin, cumulative-exp weights, mean of w*L."""
+    from neurodiffeq_tpu.losses import causal
+
+    rng = np.random.RandomState(3)
+    n, n_bins, eps = 24, 4, 0.7
+    t_np = rng.rand(n) * 5
+    t, = F.coordinates(t_np)
+    r_np = rng.randn(n, 2)
+    r = jnp.asarray(r_np)  # losses accept raw (N, n_eq) arrays via _value
+
+    got = float(causal(epsilon=eps, n_bins=n_bins)(r, [], [t]))
+
+    r2 = (r_np ** 2).mean(axis=1)[np.argsort(t_np)]
+    L = r2.reshape(n_bins, -1).mean(axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(L)[:-1]])
+    expected = float((np.exp(-eps * cum) * L).mean())
+    assert np.isclose(got, expected, rtol=1e-6), (got, expected)
+
+
+def test_causal_loss_weights_detached_and_scalar_grad():
+    """The weights are stop_gradient'ed: grad equals the weighted-residual
+    grad, and the loss is a finite scalar with nonzero gradient."""
+    from neurodiffeq_tpu.losses import causal
+
+    rng = np.random.RandomState(0)
+    t, = F.coordinates(np.linspace(0, 1, 32))
+    net = FCNN(n_input_units=1, n_output_units=1, hidden_units=(8,))
+    params = net.init(jax.random.PRNGKey(0))
+
+    def loss_of(p):
+        u = F.network_field(lambda xs: net.apply(p, xs), (t,),
+                            module=net, params=p)
+        r = diff(u, t) + u
+        return causal(epsilon=2.0, n_bins=8)(r, [u], [t])
+
+    val = loss_of(params)
+    assert jnp.shape(val) == () and np.isfinite(float(val))
+    g = jax.tree.leaves(jax.grad(loss_of)(params))
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in g)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in g)
+
+
+def test_causal_loss_uneven_bins_and_clipping():
+    """n not divisible by n_bins uses as-even-as-possible trace-time bounds;
+    n_bins > n clips to one point per bin."""
+    from neurodiffeq_tpu.losses import causal
+
+    t, = F.coordinates(np.array([3.0, 1.0, 2.0, 0.0, 4.0]))
+    r = jnp.asarray([[3.0], [1.0], [2.0], [0.0], [4.0]])
+    # sorted r2 = [0, 1, 4, 9, 16]
+    got = float(causal(epsilon=0.0, n_bins=2)(r, [], [t]))
+    # bounds for n=5, m=2: [0, 2, 5] -> L = [0.5, 29/3]; eps=0 -> plain mean
+    assert np.isclose(got, (0.5 + 29 / 3) / 2)
+    got_clip = float(causal(epsilon=0.0, n_bins=100)(r, [], [t]))
+    assert np.isclose(got_clip, (0 + 1 + 4 + 9 + 16) / 5)
+
+
+def test_causal_loss_earlier_bins_weigh_more():
+    """With identical per-bin residuals, gradient flow is strictly larger for
+    early-time residuals (w monotonically nonincreasing in time)."""
+    from neurodiffeq_tpu.losses import causal
+
+    t, = F.coordinates(np.linspace(0, 1, 16))
+
+    def loss_of(v):
+        return causal(epsilon=1.0, n_bins=4)(v, [], [t])
+
+    v = jnp.ones((16, 1))
+    g = np.asarray(jax.grad(loss_of)(v)).reshape(-1)
+    assert np.all(g[:4] >= g[-4:])
+    assert g[0] > g[-1]
