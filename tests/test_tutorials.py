@@ -1,4 +1,4 @@
-"""The three tutorials (docs/tutorials/, the counterpart of the reference's
+"""The tutorials (docs/tutorials/, the counterpart of the reference's
 intro/how/advanced notebooks) must EXECUTE end-to-end — every code cell, every
 inline assertion — at the quick settings. This is the CI execution the
 reference never had for its notebooks."""
