@@ -324,3 +324,36 @@ def test_sharded_residual_weights_match_unsharded():
     l_plain, _ = s_plain._loss_and_metrics(s_plain.params, cols)
     l_mesh, _ = s_mesh._loss_and_metrics(s_mesh.params, cols)
     assert np.isclose(float(l_plain), float(l_mesh), rtol=1e-10, atol=1e-12)
+
+
+def test_causal_loss_matches_unsharded_on_mesh():
+    """The causal loss argsorts the time coordinate across the points axis —
+    under a sharded mesh that forces cross-device gathers. Pin loss AND
+    gradient equivalence sharded vs unsharded at identical params/points."""
+    from neurodiffeq_tpu.losses import causal
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    common = dict(
+        ode_system=lambda u, t: [diff(u, t) + u],
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+        loss_fn=causal(epsilon=2.0, n_bins=4),
+        train_generator=Generator1D(8 * n_dev, 0, 2, method='equally-spaced'),
+        valid_generator=Generator1D(8 * n_dev, 0, 2, method='equally-spaced'),
+        key=jax.random.PRNGKey(7),
+    )
+    s_plain = Solver1D(**common)
+    s_mesh = Solver1D(**common, mesh=mesh)
+
+    # shuffled points so the argsort actually permutes across shards
+    rng = np.random.RandomState(0)
+    cols = [rng.permutation(np.linspace(0, 2, 8 * n_dev)).reshape(-1, 1)]
+    loss_plain, _ = s_plain._loss_and_metrics(s_plain.params, cols)
+    loss_mesh, _ = jax.jit(s_mesh._loss_and_metrics)(s_mesh.params, cols)
+    assert np.isclose(float(loss_plain), float(loss_mesh), rtol=1e-8)
+
+    g_plain = jax.grad(lambda p: s_plain._loss_and_metrics(p, cols)[0])(s_plain.params)
+    g_mesh = jax.jit(jax.grad(lambda p: s_mesh._loss_and_metrics(p, cols)[0]))(s_mesh.params)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_mesh)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-10)
