@@ -79,6 +79,17 @@ assert err_fourier < err_plain  # the gap grows with budget: 0.005 vs 1.43 at 20
 # batched Taylor series like every other network here, so derivatives stay
 # on the fast path.
 #
+# The other standard cure is `networks.SIREN` — sine activations with the
+# Sitzmann et al. (2020) initialization, so every frequency is *trainable*
+# rather than fixed at init. One caveat, measured in
+# `tests/test_networks.py::test_siren_fits_high_frequency`: for residual
+# training use a moderate `w0` (5-10). Each derivative order multiplies
+# hidden frequencies by `w0`, so the paper's image-fitting default
+# (`w0=30`) makes the PINN loss landscape noisy — it stalls at ~0.78 on
+# this exact problem while `w0=10` reaches 0.04. Prefer `FourierFCNN` when
+# you know the target bandwidth (set `sigma` to it); prefer `SIREN` when
+# you don't and want the net to find it.
+#
 # ## 2. Causality — `losses.causal`
 #
 # On stiff nonlinear PDEs the optimizer can drive the residual down along a

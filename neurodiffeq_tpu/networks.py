@@ -17,7 +17,7 @@ import warnings
 import jax
 import jax.numpy as jnp
 
-__all__ = ['FCNN', 'Resnet', 'MonomialNN', 'FourierFCNN',
+__all__ = ['FCNN', 'Resnet', 'MonomialNN', 'FourierFCNN', 'SIREN',
            'Tanh', 'SinActv', 'Swish', 'APTx']
 
 
@@ -408,6 +408,116 @@ class FourierFCNN(Module):
                 f"n_output_units={self.n_output_units}, "
                 f"n_features={self.n_features}, sigma={self.sigma}, "
                 f"hidden_units={self.fcnn.hidden_units})")
+
+
+class SIREN(Module):
+    r"""Sinusoidal representation network: every hidden layer is
+    ``sin(w0 * (W h + b))`` with the initialization scheme of Sitzmann et al.
+    2020 ("Implicit Neural Representations with Periodic Activation
+    Functions").
+
+    No reference counterpart (``/root/reference/neurodiffeq/networks.py:6-209``
+    stops at FCNN/Resnet/MonomialNN; its ``SinActv`` applies ``sin`` without
+    the frequency scaling or the matched init). SIREN is the other standard
+    remedy — alongside :class:`FourierFCNN` — for the spectral bias of
+    coordinate MLPs: the ``w0`` scaling puts O(``w0``) frequencies in the
+    first layer's range, and the ``U(-sqrt(6/fan_in)/w0, +)`` hidden init
+    keeps pre-activations standard-normal so deep stacks of sines neither
+    saturate nor explode. Unlike :class:`FourierFCNN` (fixed random
+    frequencies, trainable readout), every frequency in a SIREN is trainable.
+
+    :param n_input_units: Number of coordinate inputs, defaults to 1.
+    :type n_input_units: int
+    :param n_output_units: Number of outputs, defaults to 1.
+    :type n_output_units: int
+    :param hidden_units: Hidden widths, defaults to ``(32, 32)``.
+    :type hidden_units: Tuple[int]
+    :param w0: Frequency scale of the sine layers, defaults to 30.0 — the
+        paper's value, calibrated for *image fitting* on ``[-1, 1]``. For
+        residual (PINN) training, moderate values work markedly better:
+        on ``u'' = -(2 pi 3)^2 sin(2 pi 3 t)`` over [0, 1] (Adam 3e-3,
+        2000 epochs) the measured max error is 0.025 at ``w0=5``, 0.043
+        at ``w0=10``, but ~0.78 at ``w0=30`` — differentiating the
+        residual amplifies each hidden frequency by ``w0`` per derivative
+        order, so large ``w0`` makes the loss landscape noisy. Start at
+        5-10 and raise only if the solution's frequency content demands it.
+    :type w0: float
+    :param w0_first: Frequency scale of the first layer only; defaults to
+        ``w0`` (the paper uses 30 for both).
+    :type w0_first: float
+
+    Weight init (paper §3.2 + appendix): first layer
+    ``U(-1/fan_in, 1/fan_in)``; every later layer
+    ``U(-sqrt(6/fan_in)/w0, sqrt(6/fan_in)/w0)`` (including the final
+    linear readout). Biases use the torch ``nn.Linear`` default
+    ``U(-1/sqrt(fan_in), +)``, as in the authors' released code.
+    """
+
+    supports_taylor = True
+
+    def __init__(self, n_input_units=1, n_output_units=1, hidden_units=(32, 32),
+                 w0=30.0, w0_first=None):
+        self.n_input_units = n_input_units
+        self.n_output_units = n_output_units
+        self.hidden_units = tuple(hidden_units)
+        self.w0 = float(w0)
+        self.w0_first = float(w0 if w0_first is None else w0_first)
+        units = (n_input_units,) + self.hidden_units + (n_output_units,)
+        self.layer_dims = list(zip(units[:-1], units[1:]))
+        # structural twin used for Taylor propagation: folding w0 into the
+        # affine layers makes SIREN exactly an FCNN with sin activations,
+        # which keeps it eligible for the fused Pallas kernel
+        self._fcnn = FCNN(n_input_units=n_input_units,
+                          n_output_units=n_output_units,
+                          actv=SinActv, hidden_units=self.hidden_units)
+
+    def _layer_w0(self, i):
+        return self.w0_first if i == 0 else self.w0
+
+    def init(self, key, dtype=None):
+        from .utils import get_default_dtype
+        dtype = dtype or get_default_dtype()
+        keys = jax.random.split(key, len(self.layer_dims))
+        layers = []
+        for i, (k, (n_in, n_out)) in enumerate(zip(keys, self.layer_dims)):
+            wkey, bkey = jax.random.split(k)
+            if i == 0:
+                bound = 1.0 / n_in
+            else:
+                bound = float(jnp.sqrt(6.0 / n_in)) / self.w0
+            W = jax.random.uniform(wkey, (n_in, n_out), dtype=dtype,
+                                   minval=-bound, maxval=bound)
+            b_bound = 1.0 / float(jnp.sqrt(jnp.asarray(float(n_in))))
+            b = jax.random.uniform(bkey, (n_out,), dtype=dtype,
+                                   minval=-b_bound, maxval=b_bound)
+            layers.append({'W': W, 'b': b})
+        return {'layers': layers}
+
+    def apply(self, params, x):
+        h = x
+        layers = params['layers']
+        for i, lp in enumerate(layers[:-1]):
+            h = jnp.sin(self._layer_w0(i) * (h @ lp['W'] + lp['b']))
+        lp = layers[-1]
+        return h @ lp['W'] + lp['b']
+
+    def taylor_apply(self, params, series, ctx):
+        # sin(w0*(Wx+b)) == SinActv(FCNN-layer with weights w0*W, w0*b):
+        # delegate to the FCNN Taylor path (and its Pallas kernel) on
+        # w0-folded parameters. Gradients flow through the folding, so
+        # parameter gradients match `apply` exactly.
+        layers = params['layers']
+        scaled = [{'W': self._layer_w0(i) * lp['W'], 'b': self._layer_w0(i) * lp['b']}
+                  for i, lp in enumerate(layers[:-1])] + [layers[-1]]
+        return self._fcnn.taylor_apply(
+            {'layers': scaled, 'actv': [None] * len(self.hidden_units)},
+            series, ctx)
+
+    def __repr__(self):
+        return (f"SIREN(n_input_units={self.n_input_units}, "
+                f"n_output_units={self.n_output_units}, "
+                f"hidden_units={self.hidden_units}, w0={self.w0}, "
+                f"w0_first={self.w0_first})")
 
 
 class MonomialNN(Module):

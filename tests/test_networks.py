@@ -291,3 +291,113 @@ def test_fourier_fcnn_beats_plain_fcnn_on_high_frequency():
     assert err_fourier < 0.08, f"FourierFCNN failed to fit k=3: {err_fourier}"
     assert err_fourier < err_plain / 5, (
         f"embedding gave no advantage: fourier {err_fourier} vs plain {err_plain}")
+
+
+def test_siren_shapes_formula_and_init_scheme():
+    """SIREN forward is sin(w0*(Wh+b)) stacks + linear readout; init bounds
+    follow Sitzmann 2020: first layer U(-1/fan_in, .), later layers
+    U(-sqrt(6/fan_in)/w0, .)."""
+    from neurodiffeq_tpu.networks import SIREN
+    net = SIREN(n_input_units=2, n_output_units=3, hidden_units=(16, 8), w0=30.0)
+    params = net.init(jax.random.PRNGKey(0))
+    layers = params['layers']
+    assert [tuple(lp['W'].shape) for lp in layers] == [(2, 16), (16, 8), (8, 3)]
+    # init bounds (strict bound + evidence the full range is used)
+    W0 = np.asarray(layers[0]['W'])
+    assert np.max(np.abs(W0)) <= 1 / 2 and np.max(np.abs(W0)) > 0.5 * (1 / 2)
+    for lp, fan_in in [(layers[1], 16), (layers[2], 8)]:
+        bound = np.sqrt(6 / fan_in) / 30.0
+        W = np.asarray(lp['W'])
+        assert np.max(np.abs(W)) <= bound and np.max(np.abs(W)) > 0.5 * bound
+
+    x = np.random.rand(10, 2)
+    y = np.asarray(net.apply(params, jnp.asarray(x)))
+    assert y.shape == (10, 3)
+    y1 = np.asarray(net.apply(params, jnp.asarray(x[0])))
+    assert y1.shape == (3,)
+    assert np.allclose(y1, y[0], atol=1e-12)
+    # hand evaluation
+    h = x
+    for lp in [layers[0], layers[1]]:
+        h = np.sin(30.0 * (h @ np.asarray(lp['W']) + np.asarray(lp['b'])))
+    expected = h @ np.asarray(layers[2]['W']) + np.asarray(layers[2]['b'])
+    assert np.allclose(y, expected, atol=1e-5)
+
+
+def test_siren_taylor_matches_compose():
+    """Batched Taylor propagation (w0-folded FCNN path) agrees with
+    per-sample compose-mode autodiff on 1st and 2nd derivatives, and
+    parameter gradients of a 2nd-order residual agree between modes."""
+    from neurodiffeq_tpu import fields as F
+    from neurodiffeq_tpu.fields import diff
+    from neurodiffeq_tpu.networks import SIREN
+
+    net = SIREN(n_input_units=1, n_output_units=1, hidden_units=(8, 8), w0=4.0)
+    assert net.supports_taylor
+    params = net.init(jax.random.PRNGKey(3))
+    t, = F.coordinates(np.linspace(-1, 1, 23))
+    u = F.network_field(lambda xs: net.apply(params, xs), (t,),
+                        module=net, params=params)
+    F.set_eval_mode('taylor')
+    d1_taylor = np.asarray(diff(u, t).value)
+    d2_taylor = np.asarray(diff(u, t, 2).value)
+    F.set_eval_mode('compose')
+    u2 = F.network_field(lambda xs: net.apply(params, xs), (t,))
+    d1_compose = np.asarray(diff(u2, t).value)
+    d2_compose = np.asarray(diff(u2, t, 2).value)
+    F.set_eval_mode('taylor')
+    assert np.allclose(d1_taylor, d1_compose, atol=1e-4)
+    assert np.allclose(d2_taylor, d2_compose, atol=1e-4)
+
+    ts = jnp.linspace(-1, 1, 23).reshape(-1, 1)
+
+    def residual_sumsq(p, mode):
+        with F.eval_mode(mode):
+            tt, = F.coordinates(ts[:, 0])
+            uu = F.network_field(lambda xs: net.apply(p, xs), (tt,),
+                                 module=net, params=p)
+            r = diff(uu, tt, 2).value + uu.value
+        return jnp.sum(r ** 2)
+
+    g_taylor = jax.grad(residual_sumsq)(params, 'taylor')
+    g_compose = jax.grad(residual_sumsq)(params, 'compose')
+    for a, b in zip(jax.tree.leaves(g_taylor), jax.tree.leaves(g_compose)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+
+
+def test_siren_fits_high_frequency():
+    """The point of the architecture: u'' = -(2 pi k)^2 sin(2 pi k t), k=3 —
+    the same problem where a plain tanh FCNN stalls at ~1.4 max error after
+    2000 epochs (see test_fourier_fcnn_beats_plain_fcnn_on_high_frequency);
+    a same-size SIREN at moderate w0 reaches a few 1e-2. Measured at
+    lr=3e-3/2000 epochs: w0=5 -> 0.025, w0=10 -> 0.043, while the paper's
+    image-fitting default w0=30 stalls at ~0.78 on this residual-training
+    problem — hence the docstring's advice to lower w0 for PINNs."""
+    import optax
+    from neurodiffeq_tpu.fields import diff
+    from neurodiffeq_tpu import fields as F
+    from neurodiffeq_tpu.solvers import Solver1D
+    from neurodiffeq_tpu.conditions import DirichletBVP
+    from neurodiffeq_tpu.networks import SIREN
+    from neurodiffeq_tpu.generators import Generator1D
+
+    k = 3.0
+    w = 2 * np.pi * k
+
+    def ode(u, t):
+        return [diff(u, t, 2) + w ** 2 * F.sin(w * t)]
+
+    s = Solver1D(ode_system=ode,
+                 conditions=[DirichletBVP(0.0, 0.0, 1.0, 0.0)],
+                 t_min=0.0, t_max=1.0,
+                 nets=[SIREN(hidden_units=(32, 32), w0=10.0)],
+                 optimizer=optax.adam(3e-3),
+                 train_generator=Generator1D(64, 0.0, 1.0,
+                                             method='equally-spaced-noisy'),
+                 valid_generator=Generator1D(64, 0.0, 1.0,
+                                             method='equally-spaced'))
+    s.fit(max_epochs=2000, tqdm_file=None)
+    ts = np.linspace(0, 1, 201)
+    pred = np.asarray(s.get_solution(best=False)(ts))
+    err = float(np.max(np.abs(pred - np.sin(w * ts))))
+    assert err < 0.1, f"SIREN failed to fit k=3: max err {err}"

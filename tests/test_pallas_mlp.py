@@ -138,3 +138,26 @@ def test_sin_activation_matches_taylor_engine():
     from neurodiffeq_tpu.fields import diff
     d2 = np.asarray(diff(u, t, 2).value)
     np.testing.assert_allclose(np.asarray(ref[2][0]), d2, atol=1e-8)
+
+
+def test_siren_uses_kernel_and_matches_plain_taylor():
+    """SIREN folds w0 into the affine layers and delegates to the FCNN
+    Taylor path, so with pallas enabled its derivatives come from the fused
+    sin kernel; they must match the plain (pallas-off) Taylor engine."""
+    from neurodiffeq_tpu.networks import SIREN
+
+    net = SIREN(n_input_units=2, n_output_units=1, hidden_units=(16, 16), w0=4.0)
+    params = net.init(jax.random.PRNGKey(5))
+    pts = np.random.RandomState(3).rand(40, 2)
+
+    enable_pallas(interpret=True)
+    x, y = F.coordinates(pts[:, 0], pts[:, 1])
+    u = _ann_field(net, params, (x, y))
+    lap_pallas = np.asarray((diff(u, x, 2) + diff(u, y, 2)).value)
+
+    disable_pallas()
+    x, y = F.coordinates(pts[:, 0], pts[:, 1])
+    u = _ann_field(net, params, (x, y))
+    lap_plain = np.asarray((diff(u, x, 2) + diff(u, y, 2)).value)
+    assert np.allclose(lap_pallas, lap_plain, atol=1e-4)
+    assert np.abs(lap_plain).max() > 0
