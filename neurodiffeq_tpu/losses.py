@@ -9,7 +9,7 @@ Fields all the way to the loss.
 """
 from .fields import Field
 
-__all__ = ['_losses', 'causal']
+__all__ = ['_losses', 'causal', 'variational']
 
 
 def _value(r):
@@ -110,7 +110,46 @@ def causal(epsilon=1.0, n_bins=32, t_index=-1):
     return loss
 
 
+def variational(residual, funcs, coords):
+    r"""Deep Ritz / variational loss (E & Yu 2018, "The Deep Ritz Method",
+    arXiv:1710.00211). No reference counterpart
+    (`/root/reference/neurodiffeq/losses.py` stops at residual norms).
+
+    Use with equations written as an **energy density** instead of a
+    strong-form residual: ``diff_eqs`` returns the integrand of the energy
+    functional, and this loss is its Monte-Carlo integral — the *mean* of
+    the returned columns, **not** a squared norm. For Poisson
+    :math:`-\nabla^2 u = f` the energy is
+    :math:`E[u] = \int \tfrac12 |\nabla u|^2 - f\,u`, so::
+
+        pde = lambda u, x, y: [0.5 * (diff(u, x) ** 2 + diff(u, y) ** 2)
+                               - f(x, y) * u]
+        Solver2D(pde_system=pde, loss_fn='variational', ...)
+
+    Why bother, when the strong form works: the energy density contains
+    only **first** derivatives, so a second-order problem trains with
+    order-1 Taylor propagation — measurably cheaper per collocation point
+    than the strong form's order-2 path (see
+    ``examples/poisson_ritz.py``). Classic Deep Ritz pays for this with a
+    boundary *penalty* term; here conditions enforce boundaries exactly by
+    reparameterization, so no penalty (and no penalty weight to tune) is
+    needed.
+
+    Caveats, honestly: (1) the minimizer equals the PDE solution only for
+    problems with a genuine energy functional (symmetric elliptic
+    operators — Poisson, linear elasticity; not advection). (2) The loss
+    is an energy, not a residual norm: it is typically *negative* at the
+    optimum, and its value is not a quality metric — track error against
+    a validation metric instead. Best-net tracking still works (lowest
+    energy = best). (3) The Monte-Carlo integral assumes *uniform*
+    collocation sampling; residual-adaptive generators would bias it.
+    """
+    v = _value(residual)
+    return v.sum(axis=1).mean() if v.ndim > 1 else v.mean()
+
+
 _losses = {
+    'variational': variational,
     'l1': _l1_norm,
     'l2': _l2_norm,
     'infinity': _infinity_norm,

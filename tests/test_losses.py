@@ -25,7 +25,9 @@ def xy():
 
 
 def test_registry_names():
-    assert set(_losses) == {'l1', 'l2', 'infinity', 'h1', 'h1 semi'}
+    # reference names (losses.py:29-35) plus the beyond-reference 'variational'
+    assert set(_losses) == {'l1', 'l2', 'infinity', 'h1', 'h1 semi',
+                            'variational'}
 
 
 @pytest.mark.parametrize('loss_name', list(_losses))
@@ -191,3 +193,51 @@ def test_causal_loss_earlier_bins_weigh_more():
     g = np.asarray(jax.grad(loss_of)(v)).reshape(-1)
     assert np.all(g[:4] >= g[-4:])
     assert g[0] > g[-1]
+
+
+def test_variational_value_is_mean_of_density_columns(xy):
+    """'variational' is the Monte-Carlo energy integral: mean over points of
+    the summed density columns — NOT a squared norm, may be negative."""
+    from neurodiffeq_tpu.losses import variational
+    x, y = xy
+    xv = np.asarray(x.value).reshape(-1)
+    yv = np.asarray(y.value).reshape(-1)
+    dens = F.cat([x ** 2 - 1.0, 0.5 * y], dim=1)  # negative-capable density
+    expected = ((xv ** 2 - 1.0) + 0.5 * yv).mean()
+    assert np.isclose(float(variational(dens, [], [x, y])), expected)
+    assert expected < 0 or True  # value sign is irrelevant; no abs/square
+
+
+def test_deep_ritz_solves_poisson_1d():
+    """End-to-end Deep Ritz: minimize E[u] = int 1/2 u'^2 - f u with exact
+    Dirichlet BCs for -u'' = pi^2 sin(pi x); converges to sin(pi x). The
+    energy density uses only FIRST derivatives (the method's selling
+    point), and the final loss is negative (it is an energy)."""
+    import optax
+    from neurodiffeq_tpu.solvers import Solver1D
+    from neurodiffeq_tpu.conditions import DirichletBVP
+    from neurodiffeq_tpu.generators import Generator1D
+
+    pi = np.pi
+
+    def energy_density(u, x):
+        return [0.5 * diff(u, x) ** 2 - (pi ** 2) * F.sin(pi * x) * u]
+
+    s = Solver1D(ode_system=energy_density,
+                 conditions=[DirichletBVP(0.0, 0.0, 1.0, 0.0)],
+                 t_min=0.0, t_max=1.0, loss_fn='variational',
+                 optimizer=optax.adam(1e-3),
+                 train_generator=Generator1D(64, 0.0, 1.0,
+                                             method='equally-spaced-noisy'),
+                 valid_generator=Generator1D(64, 0.0, 1.0,
+                                             method='equally-spaced'))
+    s.fit(max_epochs=2000, tqdm_file=None)
+    ts = np.linspace(0, 1, 101)
+    pred = np.asarray(s.get_solution(best=False)(ts))
+    err = float(np.max(np.abs(pred - np.sin(pi * ts))))
+    assert err < 5e-2, f"Deep Ritz failed on 1-D Poisson: max err {err}"
+    # the converged energy must be near the true minimum E[sin] = -pi^2/4 * ... :
+    # E[u*] = int 1/2 (pi cos)^2 - pi^2 sin^2 = pi^2/4 - pi^2/2 = -pi^2/4
+    final_valid = float(s.metrics_history['valid_loss'][-1])
+    assert final_valid < 0, "variational loss should go negative (energy)"
+    assert abs(final_valid - (-pi ** 2 / 4)) < 0.1 * (pi ** 2 / 4)
