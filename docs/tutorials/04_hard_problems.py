@@ -2,7 +2,7 @@
 # # Hard problems: spectral bias, causality, and where to put your points
 #
 # The previous tutorials solve *easy* equations — smooth, low-frequency,
-# short-horizon. This one covers the three classic ways a physics-informed
+# short-horizon. This one covers the classic ways a physics-informed
 # fit fails on harder ones, and the tool this framework ships for each
 # (none of these exist in the reference `neurodiffeq`):
 #
@@ -11,6 +11,7 @@
 # | spectral bias | loss plateaus; solution looks low-pass filtered | `FourierFCNN` |
 # | causality violation | residual is low but the trajectory is wrong far from t=0 | `losses.causal` |
 # | wasted collocation | error concentrates in a thin feature your uniform points miss | `ResidualAdaptiveGenerator` |
+# | unaffordable derivative order | step time dominated by high-order Taylor chains | `'variational'` + `'halton'` |
 #
 # Set `NEURODIFF_TUTORIAL_QUICK=1` for the CI-sized run.
 
@@ -138,6 +139,43 @@ assert err < (0.2 if QUICK else 0.01)
 # (frozen L-BFGS point sets). The auto-balanced multi-equation weighting
 # (`AutoResidualWeightCallback`, tutorial 3) composes with all of the
 # above.
+#
+# ## 4. Trading derivative order for sampling quality — Deep Ritz + QMC
+#
+# For problems with an energy functional (symmetric elliptic operators),
+# you can avoid high-order derivatives entirely: write the *energy
+# density* and minimize its Monte-Carlo integral with
+# `loss_fn='variational'` (E & Yu 2018). For Poisson `-u'' = f` the
+# density is `1/2 u'^2 - f u` — first derivatives only, so a second-order
+# problem trains on order-1 Taylor propagation, ~1.4-1.7x more epochs/s
+# on the 2-D study (`benchmarks/ritz_ab.py`). Exact boundary
+# reparameterization replaces classic Deep Ritz's penalty term.
+#
+# The catch, measured in that A/B: with iid sampling the energy's
+# integration noise floors the error 27x above the strong form. The fix is
+# free: `method='halton'` — randomized low-discrepancy collocation points
+# (quasi-Monte-Carlo), which cut the floor 4.1x. Always pair them:
+
+# %%
+pi = np.pi
+ritz = lambda u, x: [0.5 * diff(u, x) ** 2 - (pi ** 2) * F.sin(pi * x) * u]
+s = Solver1D(ode_system=ritz,
+             conditions=[DirichletBVP(0.0, 0.0, 1.0, 0.0)],
+             t_min=0.0, t_max=1.0, loss_fn='variational',
+             optimizer=optax.adam(1e-3),
+             train_generator=Generator1D(64, 0.0, 1.0, method='halton'),
+             valid_generator=Generator1D(64, 0.0, 1.0,
+                                         method='equally-spaced'))
+s.fit(max_epochs=EPOCHS, tqdm_file=None)
+ts = np.linspace(0, 1, 101)
+err = float(np.max(np.abs(np.asarray(s.get_solution(best=False)(ts))
+                          - np.sin(pi * ts))))
+final_energy = float(s.metrics_history['valid_loss'][-1])
+print(f"Deep Ritz 1-D Poisson: max err {err:.4f}, "
+      f"final energy {final_energy:.4f} (analytic minimum {-pi**2/4:.4f})")
+assert err < (0.5 if QUICK else 0.06)
+# the loss is an ENERGY: negative at the optimum, not a quality metric
+assert final_energy < 0 or QUICK
 
 # %%
 print("tutorial 04 complete")
