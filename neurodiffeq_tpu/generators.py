@@ -57,7 +57,7 @@ def _latin_hypercube(key, a, b, n):
     return jax.random.permutation(k2, points)
 
 
-_HALTON_PRIMES = (2, 3, 5)
+_HALTON_PRIMES = (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47)
 
 
 def _halton(key, n, dim):
@@ -405,7 +405,10 @@ class GeneratorND(BaseGenerator):
     :param r_min: per-axis lower bounds.
     :param r_max: per-axis upper bounds.
     :param methods: per-axis method: 'uniform', 'equally-spaced', 'log-spaced',
-        'exp-spaced', 'chebyshev'/'chebyshev1', 'chebyshev2'.
+        'exp-spaced', 'chebyshev'/'chebyshev1', 'chebyshev2'. The whole-box
+        string ``methods='halton'`` (no reference analog) instead fills the
+        N-D box with ``prod(grid)`` randomized low-discrepancy points — see
+        :func:`_halton`; ``noisy``/``cut`` do not apply to it.
     :param noisy: add per-axis gaussian noise if True (default).
     :param r_noise_std: per-axis noise std overrides.
     :param cut: per-axis (start, stop) slices of the node set. (kwarg)
@@ -436,7 +439,17 @@ class GeneratorND(BaseGenerator):
             r_noise_std = (r_noise_std,)
 
         N = len(grid)
-        cut = kwargs.pop('cut', tuple((None, None) for _ in range(N)))
+        self._halton_box = isinstance(self.methods, str) and self.methods == 'halton'
+        cut = kwargs.pop('cut', None)
+        if self._halton_box:
+            if cut is not None:
+                raise ValueError("'cut' does not apply to methods='halton' "
+                                 "(points fill the box, not a per-axis mesh)")
+            if N > len(_HALTON_PRIMES):
+                raise ValueError(f"methods='halton' supports up to "
+                                 f"{len(_HALTON_PRIMES)} dimensions, got {N}")
+        if cut is None:
+            cut = tuple((None, None) for _ in range(N))
         base = kwargs.pop('base', tuple(10 for _ in range(N)))
         abs_value = kwargs.pop('abs_value', False)
         if kwargs:
@@ -500,6 +513,11 @@ class GeneratorND(BaseGenerator):
         return x[lo:hi], std[lo:hi]
 
     def sample(self, key):
+        if self._halton_box:
+            u = _halton(key, self.size, self._N)
+            return tuple(
+                self._r_min[i] + (self._r_max[i] - self._r_min[i]) * u[:, i]
+                for i in range(self._N))
         keys = jax.random.split(key, 2 * self._N)
         nodes, stds = [], []
         for i in range(self._N):

@@ -94,3 +94,32 @@ def test_export_bundle_solution():
     (us,) = serve(np.stack([ts, lams], axis=1).astype(dtype))
     ref = np.asarray(sol(ts, lams))
     assert np.allclose(np.asarray(us)[:, 0], ref, atol=1e-6)
+
+
+def test_export_siren_and_fourier_nets(tmp_path):
+    """Export is net-agnostic: SIREN and FourierFCNN solutions round-trip
+    through StableHLO (the Fourier B matrix and the w0 folding must be baked
+    into the artifact)."""
+    from neurodiffeq_tpu.networks import SIREN, FourierFCNN
+
+    for net in (SIREN(hidden_units=(8, 8), w0=5.0),
+                FourierFCNN(n_features=6, sigma=1.0, hidden_units=(8,))):
+        set_seed(0)
+        solver = Solver1D(
+            ode_system=lambda u, t: [diff(u, t) + u],
+            conditions=[IVP(t_0=0.0, u_0=1.0)],
+            t_min=0.0, t_max=2.0, nets=[net],
+        )
+        solver.fit(max_epochs=5, tqdm_file=None)
+        sol = solver.get_solution()
+        serve = load_exported_solution(sol.export(n_coords=1))
+        ts = np.linspace(0, 2, 13)
+        dtype = np.asarray(jax_tree_first_leaf(sol.params)).dtype
+        (us,) = serve(ts.reshape(-1, 1).astype(dtype))
+        assert np.allclose(np.asarray(us)[:, 0], np.asarray(sol(ts)),
+                           atol=1e-6), type(net).__name__
+
+
+def jax_tree_first_leaf(tree):
+    import jax
+    return jax.tree.leaves(tree)[0]

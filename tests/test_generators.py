@@ -452,3 +452,23 @@ def test_halton_beats_uniform_on_integration_error():
         errs_u.append(abs(float(np.mean(np.exp(_arr(u[:, 0]) + _arr(u[:, 1])))) - true))
     mh, mu = float(np.mean(errs_h)), float(np.mean(errs_u))
     assert mh < mu / 3, f"halton {mh:.2e} not clearly below uniform {mu:.2e}"
+
+
+def test_generator_nd_halton_box():
+    """methods='halton' fills the N-D box directly (no per-axis mesh):
+    shapes, bounds, cut rejection, and dimension cap."""
+    g = G.GeneratorND(grid=(4, 5, 3, 2), r_min=(0, -1, 2, 0),
+                      r_max=(1, 1, 3, 5), methods='halton')
+    out = [_arr(v) for v in g.get_examples()]
+    assert g.size == 120 and all(v.shape == (120,) for v in out)
+    for v, lo, hi in zip(out, (0, -1, 2, 0), (1, 1, 3, 5)):
+        assert v.min() >= lo and v.max() <= hi
+    # successive draws differ (rotation), same key reproduces
+    a = _arr(g.get_examples()[0])
+    b = _arr(g.get_examples()[0])
+    assert not np.allclose(a, b)
+    with pytest.raises(ValueError, match="cut"):
+        G.GeneratorND(grid=(4, 4), methods='halton', cut=((0, 2), (None, None)))
+    with pytest.raises(ValueError, match="dimensions"):
+        G.GeneratorND(grid=(2,) * 16, r_min=(0,) * 16, r_max=(1,) * 16,
+                      methods='halton')
