@@ -239,3 +239,31 @@ def test_laplace2d_flagship_convergence_f32():
     expected = np.sin(np.pi * xs) * np.sinh(np.pi * (1 - ys)) / np.sinh(np.pi)
     err = np.abs(np.asarray(solver.get_solution()(xs, ys)) - expected).max()
     assert err < 1e-2, f"f32 flagship convergence regression: {err}"
+
+
+def test_deep_ritz_halton_convergence_f32():
+    """Deep Ritz ('variational' loss) + 'halton' QMC sampling at the shipped
+    f32 default: 1-D Poisson energy minimization converges (f64 reaches
+    ~0.03 at 2000 epochs; the f32 energy estimate adds rounding noise on
+    the near-cancelling f*u sum, so the bar is 0.1)."""
+    import optax
+    from neurodiffeq_tpu.solvers import Solver1D
+    from neurodiffeq_tpu.generators import Generator1D
+
+    pi = np.pi
+    solver = Solver1D(
+        ode_system=lambda u, x: [0.5 * diff(u, x) ** 2
+                                 - (pi ** 2) * F.sin(pi * x) * u],
+        conditions=[C.DirichletBVP(0.0, 0.0, 1.0, 0.0)],
+        t_min=0.0, t_max=1.0, loss_fn='variational',
+        optimizer=optax.adam(1e-3),
+        train_generator=Generator1D(64, 0.0, 1.0, method='halton'),
+        valid_generator=Generator1D(64, 0.0, 1.0, method='equally-spaced'),
+    )
+    solver.fit(max_epochs=2000, tqdm_file=None)
+    assert solver.params[0]['layers'][0]['W'].dtype == jnp.float32
+    ts = np.linspace(0, 1, 101)
+    err = np.abs(np.asarray(solver.get_solution(best=False)(ts))
+                 - np.sin(pi * ts)).max()
+    assert err < 0.1, f"f32 Deep Ritz convergence regression: {err}"
+    assert float(solver.metrics_history['valid_loss'][-1]) < 0
