@@ -14,7 +14,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ['NumericalSolver', 'Euler', 'Heun']
+__all__ = ['NumericalSolver', 'Euler', 'Heun', 'RK4']
 
 
 class NumericalSolver(ABC):
@@ -85,6 +85,31 @@ class Heun(NumericalSolver):
         u_pred = [ui + h * k for ui, k in zip(u, k1)]
         k2 = _normalize_rhs(func(*u_pred, t + h), len(u))
         return [0.5 * (a + b) for a, b in zip(k1, k2)]
+
+
+class RK4(NumericalSolver):
+    r"""Classic fourth-order Runge-Kutta with an :math:`h^5`-scaled neural
+    corrector — no reference analog (the reference ships Euler only,
+    ``/root/reference/neurodiffeq/hypersolver/numerical_solvers.py:5-31``):
+    :math:`\Phi = \tfrac16(k_1 + 2k_2 + 2k_3 + k_4)` with the standard
+    half-step stages. As a hypersolver base it leaves the corrector only
+    the :math:`O(h^5)` defect, so a coarse grid can reach fine-grid
+    accuracy; as a plain integrator (``hypernet=None``) it doubles as the
+    framework's reference-quality ODE rollout.
+    """
+    order = 4
+
+    def step(self, func, u, t, h):
+        n = len(u)
+        k1 = _normalize_rhs(func(*u, t), n)
+        u2 = [ui + 0.5 * h * k for ui, k in zip(u, k1)]
+        k2 = _normalize_rhs(func(*u2, t + 0.5 * h), n)
+        u3 = [ui + 0.5 * h * k for ui, k in zip(u, k2)]
+        k3 = _normalize_rhs(func(*u3, t + 0.5 * h), n)
+        u4 = [ui + h * k for ui, k in zip(u, k3)]
+        k4 = _normalize_rhs(func(*u4, t + h), n)
+        return [(a + 2 * b + 2 * c + d) / 6.0
+                for a, b, c, d in zip(k1, k2, k3, k4)]
 
 
 def _normalize_rhs(out, n_eq):

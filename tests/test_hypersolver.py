@@ -130,3 +130,53 @@ def test_heun_hypersolver_accepts_bare_array_rhs():
     assert np.allclose(np.asarray(hs_bare.residual), np.asarray(hs_list.residual))
     # magnitudes must be O(u'''/6), not O(grid index)
     assert np.abs(np.asarray(hs_bare.residual)).max() < 1.0
+
+
+def test_rk4_is_fourth_order():
+    """Plain RK4 global error falls ~16x per halving of h (order 4);
+    accept anything > 10x per halving. f64 keeps the small-h errors above
+    roundoff at these step counts."""
+    from neurodiffeq_tpu.hypersolver import RK4
+    errs = []
+    for n in (5, 10, 20):
+        ts_ret = RK4().solve(lambda u, t: [-u], 1.0, 0.0, 2.0, n)
+        ts, us = np.asarray(ts_ret[0]), np.asarray(ts_ret[1])
+        errs.append(np.abs(us - np.exp(-ts)).max())
+    assert errs[0] / errs[1] > 10.0
+    assert errs[1] / errs[2] > 10.0
+
+
+def test_rk4_system_and_vs_heun():
+    """RK4 on the sin/cos system at the grid points: orders of magnitude
+    below Heun at equal steps."""
+    from neurodiffeq_tpu.hypersolver import Heun, RK4
+    func = lambda u, v, t: [v, -u]  # noqa: E731
+    ts_r = RK4().solve(func, (0.0, 1.0), 0.0, 2 * np.pi, 40)
+    ts_h = Heun().solve(func, (0.0, 1.0), 0.0, 2 * np.pi, 40)
+    ts = np.asarray(ts_r[0])
+    err_r = max(np.abs(np.asarray(ts_r[1]) - np.sin(ts)).max(),
+                np.abs(np.asarray(ts_r[2]) - np.cos(ts)).max())
+    err_h = max(np.abs(np.asarray(ts_h[1]) - np.sin(ts)).max(),
+                np.abs(np.asarray(ts_h[2]) - np.cos(ts)).max())
+    assert err_r < 1e-4
+    assert err_r < err_h / 50
+
+
+def test_hypersolver_with_rk4_corrector():
+    """The h^5 corrector trains and does not degrade plain RK4 on a coarse
+    grid (at h=0.2 plain RK4 is already ~1e-6; the corrector's win margin
+    is within training noise, so assert non-degradation instead)."""
+    from neurodiffeq_tpu.hypersolver import RK4
+    sol_fn = lambda ts: [np.exp(-np.asarray(ts))]  # noqa: E731
+    hs = Hypersolver(
+        func=lambda u, t: [-u], u0=1.0, t0=0.0, tn=2.0, n_steps=10,
+        sol=sol_fn, numerical_solver=RK4(),
+    )
+    hs.fit(max_epochs=2000)
+    ts_grid = np.linspace(0.0, 2.0, 11)
+    us_corr, = hs.get_solution()(ts_grid)
+    err_corr = np.abs(np.asarray(us_corr) - np.exp(-ts_grid)).max()
+    us_plain, = DiscreteSolution1D(
+        *RK4().solve(lambda u, t: [-u], 1.0, 0.0, 2.0, 10))(ts_grid)
+    err_plain = np.abs(np.asarray(us_plain) - np.exp(-ts_grid)).max()
+    assert err_corr < max(2 * err_plain, 1e-5), (err_corr, err_plain)
