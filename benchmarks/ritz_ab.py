@@ -97,19 +97,21 @@ def main():
     reps = 1 if quick else 3
 
     eps = {k: [] for k in ARMS}
-    errs = {}
+    errs = {k: [] for k in ARMS}
     for rep in range(reps):
         for name, (form, lf, method) in ARMS.items():
             err, e = run(form, lf, method, epochs)
             eps[name].append(e)
-            errs[name] = err
+            errs[name].append(err)
             print(f"# rep {rep} {name:>14}: max err {err:.5f}, "
                   f"{e:,.0f} epochs/s", file=sys.stderr, flush=True)
 
     row = {'name': 'poisson_ritz_ab', 'epochs': epochs, 'reps': reps,
            'points': 1024}
     for name in ARMS:
-        row[f'{name}_max_err'] = round(errs[name], 5)
+        # medians across reps on both axes (same-seed reps are typically
+        # bit-identical in error; the median guards against retrace jitter)
+        row[f'{name}_max_err'] = round(float(np.median(errs[name])), 5)
         row[f'{name}_eps_median'] = round(float(np.median(eps[name])), 1)
     row['ritz_speedup'] = round(row['ritz_eps_median']
                                 / row['strong_eps_median'], 3)

@@ -440,6 +440,11 @@ class GeneratorND(BaseGenerator):
 
         N = len(grid)
         self._halton_box = isinstance(self.methods, str) and self.methods == 'halton'
+        if not self._halton_box and 'halton' in methods:
+            raise ValueError(
+                "'halton' is a whole-box method, not a per-axis one: pass "
+                "methods='halton' (a string) to fill the N-D box with "
+                "low-discrepancy points")
         cut = kwargs.pop('cut', None)
         if self._halton_box:
             if cut is not None:

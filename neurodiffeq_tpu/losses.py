@@ -143,6 +143,9 @@ def variational(residual, funcs, coords):
     a validation metric instead. Best-net tracking still works (lowest
     energy = best). (3) The Monte-Carlo integral assumes *uniform*
     collocation sampling; residual-adaptive generators would bias it.
+    (4) ``residual_weights`` multiply the density columns *linearly*
+    (``sum_k w_k mean(d_k)``): the loss declares ``residual_power = 1``,
+    so solvers skip the sqrt(w) scaling they apply for quadratic losses.
 
     **Measured guidance** (`benchmarks/ritz_ab.py`, TPU, 2-D Poisson,
     5000 epochs, 1024 pts): Ritz trains ~1.4-1.7x more epochs/s than the
@@ -158,6 +161,11 @@ def variational(residual, funcs, coords):
     """
     v = _value(residual)
     return v.sum(axis=1).mean() if v.ndim > 1 else v.mean()
+
+
+# the variational loss is LINEAR in the density columns; solvers use this to
+# apply `residual_weights` as w (not sqrt(w), the quadratic-loss scaling)
+variational.residual_power = 1
 
 
 _losses = {

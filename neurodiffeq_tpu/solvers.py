@@ -499,8 +499,12 @@ class BaseSolver(ABC, PretrainedSolver):
         return field_cat(residuals)
 
     def _apply_residual_weights(self, residuals):
-        """Scale each equation's residual Field by sqrt(w_k), so quadratic
-        losses see `sum_k w_k mean(r_k^2)`.
+        """Scale each equation's residual Field by ``w_k ** (1/p)`` where
+        ``p`` is the loss function's homogeneity degree in the residual
+        (``loss_fn.residual_power``, default 2) — so quadratic losses see
+        ``sum_k w_k mean(r_k^2)`` via sqrt(w) scaling, while losses linear
+        in the residual columns (``'variational'`` declares
+        ``residual_power = 1``) see ``sum_k w_k mean(d_k)`` directly.
 
         Weights apply to the training loss and to adaptive-sampling scores
         (so point selection matches what training optimizes); `get_residuals`
@@ -511,7 +515,8 @@ class BaseSolver(ABC, PretrainedSolver):
             raise ValueError(
                 f"residual_weights has {len(rw)} entries but the system "
                 f"produced {len(residuals)} residuals")
-        return [r * jnp.sqrt(w) for r, w in zip(residuals, rw)]
+        power = getattr(self.loss_fn, 'residual_power', 2)
+        return [r * (w ** (1.0 / power)) for r, w in zip(residuals, rw)]
 
     def _loss_and_metrics(self, params, cols):
         """The traced loss: enforce, residuals, loss + additional loss, metrics."""

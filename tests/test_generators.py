@@ -437,14 +437,16 @@ def test_halton_radical_inverse_values():
 def test_halton_beats_uniform_on_integration_error():
     """The point of QMC: integrating exp(x+y) over the unit square with 1024
     points, randomized-Halton error is far below iid-uniform error (law:
-    O(log^2 n / n) vs O(n^-1/2)). Compared over 20 independent batches."""
+    O(log^2 n / n) vs O(n^-1/2)). Compared over 50 independent batches;
+    measured means 2.9e-3 vs 3.0e-2 (10x) — the README/RESULTS.md number.
+    The assertion uses a 3x margin to stay robust to unlucky key draws."""
     import jax
 
     n = 1024
     true = (np.e - 1.0) ** 2
     g_h = G.Generator2D((32, 32), (0, 0), (1, 1), method='halton')
     errs_h, errs_u = [], []
-    for _ in range(20):
+    for _ in range(50):
         x, y = g_h.get_examples()
         errs_h.append(abs(float(np.mean(np.exp(_arr(x) + _arr(y)))) - true))
         k = next_rng_key()

@@ -204,8 +204,32 @@ def test_variational_value_is_mean_of_density_columns(xy):
     yv = np.asarray(y.value).reshape(-1)
     dens = F.cat([x ** 2 - 1.0, 0.5 * y], dim=1)  # negative-capable density
     expected = ((xv ** 2 - 1.0) + 0.5 * yv).mean()
-    assert np.isclose(float(variational(dens, [], [x, y])), expected)
-    assert expected < 0 or True  # value sign is irrelevant; no abs/square
+    got = float(variational(dens, [], [x, y]))
+    assert np.isclose(got, expected)
+    # the sign must survive: an accidental abs()/square would flip this
+    assert expected < 0 and got < 0
+
+
+def test_variational_residual_weights_apply_linearly():
+    """residual_power=1: residual_weights multiply density columns by w,
+    not the sqrt(w) scaling quadratic losses get."""
+    from neurodiffeq_tpu.solvers import Solver1D
+    from neurodiffeq_tpu.conditions import NoCondition
+
+    dens = lambda u, v, t: [u * 0 + 1.0, v * 0 + 10.0]  # noqa: E731
+    common = dict(ode_system=dens,
+                  conditions=[NoCondition(), NoCondition()],
+                  t_min=0.0, t_max=1.0, loss_fn='variational')
+    s_w = Solver1D(**common, residual_weights=[1.0, 4.0])
+    s_p = Solver1D(**common)
+    cols = [np.linspace(0, 1, 16).reshape(-1, 1)]
+    lw, _ = s_w._loss_and_metrics(s_w.params, cols)
+    lp, _ = s_p._loss_and_metrics(s_p.params, cols)
+    # unweighted: mean(1 + 10) = 11; weighted: mean(1*1 + 4*10) = 41
+    assert np.isclose(float(lp), 11.0)
+    assert np.isclose(float(lw), 41.0), (
+        f"expected linear weighting 41.0, got {float(lw)} "
+        f"(the old sqrt(w) scaling would give 21.0)")
 
 
 def test_deep_ritz_solves_poisson_1d():
