@@ -210,3 +210,98 @@ def test_identity_curl_curl_cylindrical(cyl):
     vl = ops.cylindrical_vector_laplacian(*u, *cyl)
     for lhs, g, l in zip(cc, gd, vl):
         assert _max(lhs - (g - l)) < EPS
+
+
+# --------------------------------------------- stochastic Laplacian (STDE)
+
+def test_stde_exact_on_quadratic():
+    # u = sum x_i^2: H = 2I, so v^T H v = 2d for EVERY Rademacher v —
+    # the estimator is exact with zero variance regardless of n_est.
+    coords = F.coordinates(*[np.random.rand(64) for _ in range(5)])
+    u = sum(c * c for c in coords)
+    est = ops.stde_laplacian(u, *coords, n_est=2)
+    assert _max(est - 10.0) < 1e-5
+
+
+def test_stde_exact_in_taylor_mode():
+    coords = F.coordinates(*[np.random.rand(64) for _ in range(5)])
+    with F.eval_mode('taylor'):
+        u = sum(c * c for c in coords)
+        est = ops.stde_laplacian(u, *coords, n_est=2)
+        assert _max(est - 10.0) < 1e-5
+
+
+def test_stde_unbiased_with_off_diagonal_hessian():
+    # u = x0^2 x1: off-diagonal Hessian terms make single probes noisy,
+    # but the mean over probes converges to the true laplacian 2*x1.
+    coords = F.coordinates(*[np.random.rand(256) for _ in range(4)])
+    x0, x1 = coords[0], coords[1]
+    u = x0 * x0 * x1
+    true = 2 * np.asarray(x1.value)
+    err_small = float(np.abs(np.asarray(
+        ops.stde_laplacian(u, *coords, n_est=8).value) - true).mean())
+    err_large = float(np.abs(np.asarray(
+        ops.stde_laplacian(u, *coords, n_est=512).value) - true).mean())
+    assert err_large < err_small
+    assert err_large < 0.15
+
+
+def test_stde_subset_of_coordinates():
+    # summing over a subset gives the partial trace, e.g. d2/dx0^2 only
+    coords = F.coordinates(*[np.random.rand(64) for _ in range(3)])
+    x0, x1 = coords[0], coords[1]
+    u = x0 * x0 + 7 * x1 * x1
+    est = ops.stde_laplacian(u, x0, n_est=2)
+    assert _max(est - 2.0) < 1e-5
+
+
+def test_stde_gradients_flow_and_jit():
+    import jax.numpy as jnp
+    net = FCNN(n_input_units=4, n_output_units=1, hidden_units=(16,))
+    params = net.init(jax.random.PRNGKey(1))
+    pts = np.random.rand(32, 4)
+
+    def loss(params):
+        coords = F.coordinates(*[pts[:, i] for i in range(4)])
+        u = F.network_field(lambda xs: net.apply(params, xs), coords[0].coords)
+        lap = ops.stde_laplacian(u, *coords, n_est=8)
+        return jnp.mean(lap.value ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.all(np.isfinite(l)) for l in jax.tree.leaves(g))
+    lj = jax.jit(loss)
+    assert float(lj(params)) == float(lj(params))
+
+
+def test_stde_fresh_probes_per_batch():
+    # inside one compiled program the base key is fixed at trace time and
+    # folded with a hash of the points: different collocation batches get
+    # different probe draws, the same batch is deterministic
+    import jax.numpy as jnp
+    d = 4
+    pts_a = np.random.rand(64, d)
+    pts_b = np.random.rand(64, d)
+
+    @jax.jit
+    def dev(pts):
+        coords = F.coordinates(*[pts[:, i] for i in range(d)])
+        x0, x1 = coords[0], coords[1]
+        u = x0 * x0 * x1
+        est = ops.stde_laplacian(u, *coords, n_est=2).value
+        return est - 2 * jnp.asarray(x1.value)
+
+    da, db = np.asarray(dev(pts_a)), np.asarray(dev(pts_b))
+    assert not np.allclose(da, db)
+    # same points -> same probes -> deterministic
+    assert np.allclose(np.asarray(dev(pts_a)), da)
+
+
+def test_stde_validates_inputs():
+    coords = F.coordinates(np.random.rand(8), np.random.rand(8))
+    u = coords[0] * coords[1]
+    with pytest.raises(TypeError):
+        ops.stde_laplacian(np.zeros(8), *coords)
+    with pytest.raises(TypeError):
+        ops.stde_laplacian(u)
+    with pytest.raises(TypeError):
+        ops.stde_laplacian(u, u * 2)  # not a coordinate
