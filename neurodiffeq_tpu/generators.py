@@ -22,7 +22,7 @@ from .utils import next_rng_key, get_default_dtype
 
 __all__ = [
     'BaseGenerator', 'Generator1D', 'Generator2D', 'Generator3D', 'GeneratorND',
-    'GeneratorSpherical', 'ConcatGenerator', 'StaticGenerator', 'PredefinedGenerator',
+    'GeneratorSpherical', 'GeneratorHypercube', 'ConcatGenerator', 'StaticGenerator', 'PredefinedGenerator',
     'TransformGenerator', 'EnsembleGenerator', 'MeshGenerator', 'FilterGenerator',
     'ResampleGenerator', 'BatchGenerator', 'SamplerGenerator',
     'ResidualAdaptiveGenerator',
@@ -601,6 +601,80 @@ class GeneratorSpherical(BaseGenerator):
     def _internal_vars(self) -> dict:
         d = super()._internal_vars()
         d.update(dict(r_min=self.r_min, r_max=self.r_max, method=self.method))
+        return d
+
+
+class GeneratorHypercube(BaseGenerator):
+    r"""IID (or quasi-Monte-Carlo) points in a ``dim``-dimensional box — the
+    high-dimensional companion to :func:`operators.stde_laplacian`. No
+    reference counterpart (the reference's most general sampler,
+    ``generators.py:419-569`` GeneratorND, is a per-axis meshgrid whose point
+    count is the *product* of the axis grids — unusable past a handful of
+    dimensions).
+
+    With ``boundary=True`` the points land ON the box boundary: a uniform
+    interior draw with one uniformly-chosen coordinate snapped to its min or
+    max face, which samples the ``2*dim`` faces with equal probability and
+    uniformly within each face. Concatenate interior + boundary generators
+    (``g_in + g_bnd``) to feed a boundary-penalty loss.
+
+    :param size: number of points.
+    :param dim: number of dimensions (columns returned).
+    :param r_min: scalar or per-axis lower bounds. Defaults to 0.
+    :param r_max: scalar or per-axis upper bounds. Defaults to 1.
+    :param method: 'uniform' (iid) or 'halton' (randomized low-discrepancy,
+        ``dim`` <= 15, interior only).
+    :param boundary: sample the boundary instead of the interior.
+    """
+
+    def __init__(self, size, dim, r_min=0.0, r_max=1.0, method='uniform', boundary=False):
+        super().__init__()
+        if dim < 1:
+            raise ValueError(f"dim must be >= 1, got {dim}")
+        r_min = tuple(r_min) if np.ndim(r_min) else (float(r_min),) * dim
+        r_max = tuple(r_max) if np.ndim(r_max) else (float(r_max),) * dim
+        if len(r_min) != dim or len(r_max) != dim:
+            raise ValueError(
+                f"r_min/r_max must be scalars or length-{dim}: got {len(r_min)}/{len(r_max)}")
+        if any(hi <= lo for lo, hi in zip(r_min, r_max)):
+            raise ValueError(f"Illegal box [{r_min}, {r_max}]")
+        if method not in ('uniform', 'halton'):
+            raise ValueError(f'Unknown method: {method}')
+        if method == 'halton':
+            if boundary:
+                raise ValueError("method='halton' samples the interior; use "
+                                 "method='uniform' with boundary=True")
+            if dim > len(_HALTON_PRIMES):
+                raise ValueError(f"method='halton' supports up to "
+                                 f"{len(_HALTON_PRIMES)} dimensions, got {dim}")
+        self.size = size
+        self.dim = dim
+        self.r_min, self.r_max = r_min, r_max
+        self.method = method
+        self.boundary = boundary
+
+    def sample(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        n, d = self.size, self.dim
+        lo = jnp.asarray(self.r_min, dtype=_dtype())
+        hi = jnp.asarray(self.r_max, dtype=_dtype())
+        if self.method == 'halton':
+            u = _halton(k1, n, d)
+        else:
+            u = jax.random.uniform(k1, (n, d), dtype=_dtype())
+        pts = lo + (hi - lo) * u
+        if self.boundary:
+            face_dim = jax.random.randint(k2, (n,), 0, d)
+            side = jax.random.randint(k3, (n, 1), 0, 2).astype(pts.dtype)
+            onehot = jax.nn.one_hot(face_dim, d, dtype=pts.dtype)
+            face_val = lo * (1 - side) + hi * side
+            pts = pts * (1 - onehot) + face_val * onehot
+        return tuple(pts[:, i] for i in range(d))
+
+    def _internal_vars(self) -> dict:
+        d = super()._internal_vars()
+        d.update(dict(dim=self.dim, r_min=self.r_min, r_max=self.r_max,
+                      method=self.method, boundary=self.boundary))
         return d
 
 

@@ -112,6 +112,9 @@ def vector_laplacian(u_x, u_y, u_z, x, y, z):
     return laplacian(u_x, x, y, z), laplacian(u_y, x, y, z), laplacian(u_z, x, y, z)
 
 
+_STDE_CALL_COUNTER = 0
+
+
 def stde_laplacian(u, *xs, n_est=16):
     r"""Unbiased stochastic estimator of the Laplacian for HIGH-dimensional
     problems — the Stochastic Taylor Derivative Estimator (Shi et al. 2024,
@@ -159,7 +162,7 @@ def stde_laplacian(u, *xs, n_est=16):
     if not xs:
         raise TypeError("stde_laplacian needs at least one coordinate")
 
-    from .utils import next_rng_key
+    from .utils import GLOBAL_KEYS
 
     coords = u.coords
     pts = coords.points
@@ -167,11 +170,18 @@ def stde_laplacian(u, *xs, n_est=16):
     idx = jnp.asarray([x.index for x in xs])
     d_sel = len(xs)
 
-    # fresh probes per batch: fold the points' bit-pattern into a base key
-    # fixed at trace time (points change every step under a stochastic
-    # generator, so the probes do too)
+    # Fresh probes per batch: fold the points' bit-pattern into a base key
+    # (points change every step under a stochastic generator, so the probes
+    # do too). The base key derives from the global seed VALUE plus a
+    # per-call counter — the stateful next_rng_key() must not run here:
+    # this code is traced inside the jitted train step, and splitting the
+    # global key under trace would leak a tracer into the key store.
+    global _STDE_CALL_COUNTER
+    _STDE_CALL_COUNTER += 1
+    base = jax.random.fold_in(jax.random.PRNGKey(GLOBAL_KEYS.seed_value()),
+                              _STDE_CALL_COUNTER)
     bits = jax.lax.bitcast_convert_type(pts.astype(jnp.float32), jnp.uint32)
-    key = jax.random.fold_in(next_rng_key(), bits.sum())
+    key = jax.random.fold_in(base, bits.sum())
     V = jax.random.rademacher(key, (n, n_est, d_sel), dtype=pts.dtype)
 
     inner = u.fn

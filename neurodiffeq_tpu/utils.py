@@ -47,6 +47,12 @@ class _KeyStore:
         self._key, sub = jax.random.split(self._key)
         return sub
 
+    def seed_value(self):
+        """The configured seed as a host int — safe to read inside a traced
+        function (``next_key`` is NOT: splitting under trace would store a
+        tracer in ``self._key`` and leak it past the transform's scope)."""
+        return self._seed
+
 
 GLOBAL_KEYS = _KeyStore(seed=0)
 

@@ -474,3 +474,66 @@ def test_generator_nd_halton_box():
     with pytest.raises(ValueError, match="dimensions"):
         G.GeneratorND(grid=(2,) * 16, r_min=(0,) * 16, r_max=(1,) * 16,
                       methods='halton')
+
+
+# --------------------------------------------------------- GeneratorHypercube
+
+def test_hypercube_interior_shapes_and_ranges():
+    g = G.GeneratorHypercube(256, dim=7, r_min=-1.0, r_max=2.0)
+    cols = g.sample(jax.random.PRNGKey(0))
+    assert len(cols) == 7 and all(c.shape == (256,) for c in cols)
+    pts = np.stack([np.asarray(c) for c in cols], axis=1)
+    assert pts.min() >= -1.0 and pts.max() <= 2.0
+    # iid uniform: no column should hug a face
+    assert pts.min() < -0.8 and pts.max() > 1.8
+
+
+def test_hypercube_per_axis_bounds():
+    g = G.GeneratorHypercube(512, dim=3, r_min=(0.0, 1.0, -2.0), r_max=(1.0, 3.0, -1.0))
+    cols = [np.asarray(c) for c in g.sample(jax.random.PRNGKey(1))]
+    for c, lo, hi in zip(cols, (0, 1, -2), (1, 3, -1)):
+        assert c.min() >= lo and c.max() <= hi and c.max() - c.min() > 0.8 * (hi - lo)
+
+
+def test_hypercube_boundary_points_on_faces():
+    d = 10
+    g = G.GeneratorHypercube(2048, dim=d, boundary=True)
+    pts = np.stack([np.asarray(c) for c in g.sample(jax.random.PRNGKey(2))], axis=1)
+    dist = np.minimum(np.abs(pts - 0.0), np.abs(pts - 1.0)).min(axis=1)
+    assert np.all(dist == 0.0)
+    # every face gets points; split roughly uniform over 2d faces
+    on_lo = (pts == 0.0)
+    on_hi = (pts == 1.0)
+    counts = np.concatenate([on_lo.sum(axis=0), on_hi.sum(axis=0)])
+    assert counts.min() > 2048 / (2 * d) * 0.5
+
+
+def test_hypercube_halton_low_discrepancy():
+    g = G.GeneratorHypercube(512, dim=4, method='halton')
+    pts = np.stack([np.asarray(c) for c in g.sample(jax.random.PRNGKey(3))], axis=1)
+    # QMC fills the box much more evenly than iid: per-axis 8-bin histogram
+    hist = np.stack([np.histogram(pts[:, i], bins=8, range=(0, 1))[0] for i in range(4)])
+    assert hist.min() > 40  # 512/8 = 64 per bin ideal; iid would dip lower
+
+
+def test_hypercube_validation():
+    with pytest.raises(ValueError):
+        G.GeneratorHypercube(16, dim=3, r_min=1.0, r_max=0.0)
+    with pytest.raises(ValueError):
+        G.GeneratorHypercube(16, dim=3, method='sobol')
+    with pytest.raises(ValueError):
+        G.GeneratorHypercube(16, dim=100, method='halton')
+    with pytest.raises(ValueError):
+        G.GeneratorHypercube(16, dim=3, method='halton', boundary=True)
+    with pytest.raises(ValueError):
+        G.GeneratorHypercube(16, dim=3, r_min=(0.0, 0.0), r_max=1.0)
+
+
+def test_hypercube_jittable_and_concat():
+    g = G.GeneratorHypercube(64, dim=5) + G.GeneratorHypercube(32, dim=5, boundary=True)
+    assert g.jittable and g.size == 96
+    sample = jax.jit(g.sample)(jax.random.PRNGKey(4))
+    assert len(sample) == 5 and sample[0].shape == (96,)
+    pts = np.stack([np.asarray(c) for c in sample], axis=1)
+    dist = np.minimum(np.abs(pts - 0.0), np.abs(pts - 1.0)).min(axis=1)
+    assert np.all(dist[64:] == 0.0) and np.all(dist[:64] > 0.0)
