@@ -72,6 +72,16 @@ def _halton(key, n, dim):
     the integral estimate unbiased) while each batch retains
     low-discrepancy structure: quasi-Monte-Carlo integration error scales
     like O(log^d n / n) vs O(n^-1/2) for iid uniform sampling.
+
+    Dimensions beyond the sixth (prime bases >= 17) additionally get
+    Matousek-style linear digit scrambling (digit -> (a*digit + c_j) mod b
+    with keyed random a, c_j): plain radical inverses in neighboring high
+    bases have strongly correlated 2-D projections at typical batch sizes
+    (n < b_i * b_j), which a Cranley-Patterson rotation randomizes but does
+    not decorrelate. Scrambling breaks the stripes while preserving the
+    (t, s)-net structure per dimension. QMC's edge over iid still shrinks
+    as d grows (the log^d n factor); past ~8-10 dims expect parity with
+    'uniform' rather than a win.
     """
     dtype = _dtype()
     cols = []
@@ -79,11 +89,19 @@ def _halton(key, n, dim):
     for d in range(dim):
         b = _HALTON_PRIMES[d]
         n_digits = int(np.log(max(n, 2)) / np.log(b)) + 2
+        scramble = b >= 17
+        if scramble:
+            kd = jax.random.fold_in(key, 10007 + d)
+            a = jax.random.randint(jax.random.fold_in(kd, 0), (), 1, b)
+            c = jax.random.randint(jax.random.fold_in(kd, 1), (n_digits,), 0, b)
         x = jnp.zeros((n,), dtype)
         f = 1.0 / b
         idx = idx0
-        for _ in range(n_digits):
-            x = x + f * (idx % b).astype(dtype)
+        for j in range(n_digits):
+            digit = idx % b
+            if scramble:
+                digit = (a * digit + c[j]) % b
+            x = x + f * digit.astype(dtype)
             idx = idx // b
             f = f / b
         cols.append(x)
@@ -613,10 +631,14 @@ class GeneratorHypercube(BaseGenerator):
     dimensions).
 
     With ``boundary=True`` the points land ON the box boundary: a uniform
-    interior draw with one uniformly-chosen coordinate snapped to its min or
-    max face, which samples the ``2*dim`` faces with equal probability and
-    uniformly within each face. Concatenate interior + boundary generators
-    (``g_in + g_bnd``) to feed a boundary-penalty loss.
+    interior draw with one coordinate snapped to its min or max face. The
+    face is chosen with probability proportional to its (d-1)-measure
+    (:math:`\prod_{j \ne i} (b_j - a_j)`, i.e. axis ``i`` with probability
+    :math:`\propto 1/(b_i - a_i)`, either side equally), and the draw is
+    uniform within each face — so the sample is uniform on the *whole*
+    boundary and an unweighted mean over it is an unbiased boundary-integral
+    estimate even for anisotropic boxes. Concatenate interior + boundary
+    generators (``g_in + g_bnd``) to feed a boundary-penalty loss.
 
     :param size: number of points.
     :param dim: number of dimensions (columns returned).
@@ -664,7 +686,10 @@ class GeneratorHypercube(BaseGenerator):
             u = jax.random.uniform(k1, (n, d), dtype=_dtype())
         pts = lo + (hi - lo) * u
         if self.boundary:
-            face_dim = jax.random.randint(k2, (n,), 0, d)
+            # face measure prod_{j!=i} L_j  =>  P(axis i) ∝ 1/L_i
+            inv_len = 1.0 / (jnp.asarray(self.r_max, dtype=jnp.float32)
+                             - jnp.asarray(self.r_min, dtype=jnp.float32))
+            face_dim = jax.random.categorical(k2, jnp.log(inv_len), shape=(n,))
             side = jax.random.randint(k3, (n, 1), 0, 2).astype(pts.dtype)
             onehot = jax.nn.one_hot(face_dim, d, dtype=pts.dtype)
             face_val = lo * (1 - side) + hi * side

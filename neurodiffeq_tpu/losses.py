@@ -20,12 +20,21 @@ def _l1_norm(residual, funcs, coords):
     return abs(_value(residual)).mean()
 
 
+# degree-1 in the residual: `residual_weights` must multiply equation k's
+# contribution by w_k, not sqrt(w_k) (see BaseSolver._apply_residual_weights)
+_l1_norm.residual_power = 1
+
+
 def _l2_norm(residual, funcs, coords):
     return (_value(residual) ** 2).mean()
 
 
 def _infinity_norm(residual, funcs, coords):
     return abs(_value(residual)).max(axis=1).mean()
+
+
+# also degree-1: scaling column k by w_k weights it inside the per-point max
+_infinity_norm.residual_power = 1
 
 
 def _residual_grads(residual, coords):

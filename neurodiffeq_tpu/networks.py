@@ -363,9 +363,32 @@ class FourierFCNN(Module):
     :type hidden_units: Tuple[int]
 
     ``B`` lives in the params pytree (so checkpoints round-trip it) but is
-    wrapped in ``stop_gradient`` — it stays at its initialized value under
-    any first-order optimizer.
+    wrapped in ``stop_gradient`` — its *gradient* is exactly zero, so any
+    pure-gradient first-order optimizer (sgd, adam, rmsprop, ...) leaves it
+    at its initialized value. **Decoupled weight decay is not a gradient**:
+    ``optax.adamw``-style optimizers shrink ``B`` directly every step,
+    silently shifting the embedding mid-training. When using weight decay,
+    mask it off ``B``::
+
+        optax.adamw(1e-3, weight_decay=1e-4,
+                    mask=FourierFCNN.weight_decay_mask(params))
     """
+
+    @staticmethod
+    def weight_decay_mask(params):
+        """Pytree of booleans matching ``params`` (or a list of per-net
+        params): ``False`` on the frozen Fourier matrix ``B``, ``True``
+        elsewhere. Pass as the ``mask`` of ``optax.adamw`` /
+        ``optax.add_decayed_weights`` so decay cannot mutate ``B``."""
+        def _one(p):
+            if isinstance(p, dict) and 'B' in p and 'fcnn' in p:
+                return {'B': jax.tree.map(lambda _: False, p['B']),
+                        'fcnn': jax.tree.map(lambda _: True, p['fcnn'])}
+            return jax.tree.map(lambda _: True, p)
+
+        if isinstance(params, list):
+            return [_one(p) for p in params]
+        return _one(params)
 
     def __init__(self, n_input_units=1, n_output_units=1, n_features=64,
                  sigma=1.0, actv=Tanh, hidden_units=(32, 32)):

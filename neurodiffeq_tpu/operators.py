@@ -10,6 +10,7 @@ compose forward-over-reverse (`jvp`-of-`grad`), the cheapest Hessian-diagonal
 scheme. All results are lazy :class:`~neurodiffeq_tpu.fields.Field` objects
 vmapped over collocation points.
 """
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -112,10 +113,33 @@ def vector_laplacian(u_x, u_y, u_z, x, y, z):
     return laplacian(u_x, x, y, z), laplacian(u_y, x, y, z), laplacian(u_z, x, y, z)
 
 
-_STDE_CALL_COUNTER = 0
+def _stde_probe_key(pts, indices, n_est, salt, tag):
+    """Deterministic probe key for stochastic derivative estimators.
+
+    Reproducible from ``set_seed`` alone: the key folds the global seed VALUE
+    (not the stateful ``next_rng_key()``, which must not run under trace — a
+    split would store a tracer in the key store) with a salt derived from
+    stable call-site data (coordinate indices, probe count, estimator tag,
+    user salt) and the bit-pattern of the collocation points. Same program +
+    same seed => same probe stream, regardless of tracing history, re-jits,
+    or how many other solvers live in the process. Distinct estimator calls
+    on the SAME points and coordinates get distinct probes only if they
+    differ in ``n_est``/``tag``/``salt`` — pass ``salt`` to decorrelate
+    otherwise-identical calls (e.g. two equations of a system each estimating
+    the same Laplacian).
+    """
+    import zlib
+
+    from .utils import GLOBAL_KEYS
+
+    stable = np.asarray(list(indices) + [n_est, salt, tag], dtype=np.int64)
+    folded = zlib.crc32(stable.tobytes()) & 0x7FFFFFFF
+    base = jax.random.fold_in(jax.random.PRNGKey(GLOBAL_KEYS.seed_value()), folded)
+    bits = jax.lax.bitcast_convert_type(pts.astype(jnp.float32), jnp.uint32)
+    return jax.random.fold_in(base, bits.sum())
 
 
-def stde_laplacian(u, *xs, n_est=16):
+def stde_laplacian(u, *xs, n_est=16, salt=0):
     r"""Unbiased stochastic estimator of the Laplacian for HIGH-dimensional
     problems — the Stochastic Taylor Derivative Estimator (Shi et al. 2024,
     "Stochastic Taylor Derivative Estimator", arXiv:2412.00088; Hutchinson
@@ -141,6 +165,15 @@ def stde_laplacian(u, *xs, n_est=16):
     a deterministic generator the points — and therefore the probes — repeat
     every epoch and the estimator's bias no longer averages out.
 
+    **Determinism contract** (pinned by ``tests/test_operators.py``): the
+    probe stream is a pure function of the global seed (:func:`utils.set_seed`),
+    the coordinate indices, ``n_est``, ``salt``, and the points themselves —
+    re-jits, pipeline discards, tracing order, and other solvers in the
+    process do not shift it. Two calls with identical arguments on identical
+    points draw identical probes; pass distinct ``salt`` values to
+    decorrelate such calls (e.g. the same Laplacian estimated in two
+    equations of one system).
+
     Evaluates by per-sample nested forward-mode (``jvp`` of ``jvp``) under
     ``vmap``; in 'taylor' eval mode this is a deliberate engine fallback —
     an axis-direction series is exactly the O(d) cost being avoided.
@@ -150,6 +183,9 @@ def stde_laplacian(u, *xs, n_est=16):
         coordinates for the full Laplacian).
     :param n_est: Number of random probe directions J, defaults to 16.
     :type n_est: int
+    :param salt: Integer folded into the probe key; use distinct values to
+        decorrelate otherwise-identical estimator calls. Defaults to 0.
+    :type salt: int
     :return: A scalar Field estimating :math:`\sum_i \partial^2 u/\partial x_i^2`.
     :rtype: Field
     """
@@ -162,26 +198,13 @@ def stde_laplacian(u, *xs, n_est=16):
     if not xs:
         raise TypeError("stde_laplacian needs at least one coordinate")
 
-    from .utils import GLOBAL_KEYS
-
     coords = u.coords
     pts = coords.points
     n, d = pts.shape
     idx = jnp.asarray([x.index for x in xs])
     d_sel = len(xs)
 
-    # Fresh probes per batch: fold the points' bit-pattern into a base key
-    # (points change every step under a stochastic generator, so the probes
-    # do too). The base key derives from the global seed VALUE plus a
-    # per-call counter — the stateful next_rng_key() must not run here:
-    # this code is traced inside the jitted train step, and splitting the
-    # global key under trace would leak a tracer into the key store.
-    global _STDE_CALL_COUNTER
-    _STDE_CALL_COUNTER += 1
-    base = jax.random.fold_in(jax.random.PRNGKey(GLOBAL_KEYS.seed_value()),
-                              _STDE_CALL_COUNTER)
-    bits = jax.lax.bitcast_convert_type(pts.astype(jnp.float32), jnp.uint32)
-    key = jax.random.fold_in(base, bits.sum())
+    key = _stde_probe_key(pts, (x.index for x in xs), n_est, salt, tag=2)
     V = jax.random.rademacher(key, (n, n_est, d_sel), dtype=pts.dtype)
 
     inner = u.fn

@@ -252,6 +252,41 @@ def test_fourier_fcnn_B_frozen_under_training():
     assert not np.array_equal(W0, W1)
 
 
+def test_fourier_fcnn_weight_decay_mask():
+    """stop_gradient zeroes B's *gradient*, but decoupled weight decay
+    (adamw) mutates B directly — unless masked with weight_decay_mask."""
+    import optax
+    from neurodiffeq_tpu.networks import FourierFCNN
+
+    net = FourierFCNN(n_input_units=1, n_output_units=1, n_features=8,
+                      hidden_units=(8,))
+    params = [net.init(jax.random.PRNGKey(3))]
+    B0 = np.asarray(params[0]['B']).copy()
+    x = jnp.asarray(np.random.rand(16, 1))
+
+    def loss(ps):
+        return jnp.mean(net.apply(ps[0], x) ** 2)
+
+    def run_steps(opt):
+        state = opt.init(params)
+        ps = params
+        for _ in range(3):
+            g = jax.grad(loss)(ps)
+            updates, state = opt.update(g, state, ps)
+            ps = optax.apply_updates(ps, updates)
+        return ps
+
+    # unmasked adamw: decay shifts B even though its gradient is zero
+    ps = run_steps(optax.adamw(1e-2, weight_decay=1e-1))
+    assert not np.array_equal(B0, np.asarray(ps[0]['B']))
+    # masked: B bit-exact, inner FCNN still trains
+    mask = FourierFCNN.weight_decay_mask(params)
+    ps = run_steps(optax.adamw(1e-2, weight_decay=1e-1, mask=mask))
+    assert np.array_equal(B0, np.asarray(ps[0]['B']))
+    assert not np.array_equal(np.asarray(params[0]['fcnn']['layers'][0]['W']),
+                              np.asarray(ps[0]['fcnn']['layers'][0]['W']))
+
+
 def test_fourier_fcnn_beats_plain_fcnn_on_high_frequency():
     """The point of the embedding: on u'' = -(2 pi k)^2 sin(2 pi k t) with
     k=3, a FourierFCNN reaches ~2e-2 max error in 2000 epochs while a

@@ -296,6 +296,40 @@ def test_stde_fresh_probes_per_batch():
     assert np.allclose(np.asarray(dev(pts_a)), da)
 
 
+def test_stde_determinism_contract():
+    # probe stream is a pure function of (seed, coord indices, n_est, salt,
+    # points) — independent of tracing history, re-jits, or other solvers in
+    # the process; `salt` decorrelates otherwise-identical calls
+    import jax.numpy as jnp
+    from neurodiffeq_tpu.utils import set_seed
+    d = 4
+    pts = np.random.rand(64, d)
+
+    def build(salt):
+        def f(pts):
+            coords = F.coordinates(*[pts[:, i] for i in range(d)])
+            x0, x1 = coords[0], coords[1]
+            u = x0 * x0 * x1
+            return ops.stde_laplacian(u, *coords, n_est=2, salt=salt).value
+        return f
+
+    set_seed(0)
+    a = np.asarray(jax.jit(build(0))(pts))
+    # a FRESH trace of an identical program (re-jit / second solver) draws
+    # the same probes — this is what the old module-global counter broke
+    b = np.asarray(jax.jit(build(0))(pts))
+    assert np.array_equal(a, b)
+    # distinct salt => distinct probes (the estimate has probe noise here)
+    c = np.asarray(jax.jit(build(1))(pts))
+    assert not np.allclose(a, c)
+    # reseeding changes the stream; restoring the seed restores it
+    set_seed(123)
+    e = np.asarray(jax.jit(build(0))(pts))
+    assert not np.allclose(a, e)
+    set_seed(0)
+    assert np.array_equal(np.asarray(jax.jit(build(0))(pts)), a)
+
+
 def test_stde_validates_inputs():
     coords = F.coordinates(np.random.rand(8), np.random.rand(8))
     u = coords[0] * coords[1]

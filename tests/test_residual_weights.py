@@ -34,6 +34,26 @@ def test_static_weights_match_manual_loss():
     assert np.isclose(float(loss), manual, rtol=1e-6)
 
 
+def test_degree_one_losses_see_linear_weights():
+    """'l1' and 'infinity' are degree-1 in the residual, so they declare
+    residual_power = 1 and residual_weights multiply equation k's
+    contribution by w_k (not the sqrt(w_k) of quadratic losses)."""
+    set_seed(0)
+    for name, manual_of in (
+        ('l1', lambda r: (4.0 * np.abs(r[:, 0]) + np.abs(r[:, 1])).mean() / 2),
+        ('infinity',
+         lambda r: np.maximum(4.0 * np.abs(r[:, 0]), np.abs(r[:, 1])).mean()),
+    ):
+        solver = Solver1D(ode_system=_two_copy_system(2.0), conditions=[IVP(0, 1)],
+                          t_min=0.0, t_max=1.0, residual_weights=[4.0, 1.0],
+                          loss_fn=name, n_batches_valid=0)
+        cols = solver._generate_train_batch()
+        loss, _ = solver._loss_and_metrics(solver.params, cols)
+        r = np.asarray(solver._residuals(*solver._forward(solver.params, cols),
+                                         weighted=False).value)
+        assert np.isclose(float(loss), manual_of(r), rtol=1e-6), name
+
+
 def test_get_residuals_stays_unweighted():
     set_seed(0)
     solver = Solver1D(ode_system=_two_copy_system(3.0), conditions=[IVP(0, 1)],
