@@ -27,7 +27,8 @@ from ._version_utils import deprecated_alias
 __all__ = [
     'BaseCondition', 'IrregularBoundaryCondition', 'EnsembleCondition', 'NoCondition',
     'IVP', 'BundleIVP', 'DirichletBVP', 'BundleDirichletBVP', 'DirichletBVP2D',
-    'IBVP1D', 'DoubleEndedBVP1D', 'DirichletBVPSpherical', 'InfDirichletBVPSpherical',
+    'DirichletBoxND', 'IBVP1D', 'DoubleEndedBVP1D', 'DirichletBVPSpherical',
+    'InfDirichletBVPSpherical',
     'DirichletBVPSphericalBasis', 'InfDirichletBVPSphericalBasis',
 ]
 
@@ -350,6 +351,161 @@ class DirichletBVP2D(BaseCondition):
                + (1 - y_tilde) * (self.g0(x) - ((1 - x_tilde) * self.g0(x0) + x_tilde * self.g0(x1)))
                + y_tilde * (self.g1(x) - ((1 - x_tilde) * self.g1(x0) + x_tilde * self.g1(x1))))
         return Axy + x_tilde * (1 - x_tilde) * y_tilde * (1 - y_tilde) * output_tensor
+
+
+class DirichletBoxND(BaseCondition):
+    r"""An exact Dirichlet condition on a ``dim``-dimensional box
+    :math:`[a_1, b_1] \times \dots \times [a_d, b_d]`:
+
+    .. math:: u(x) = g(x) + \phi(x)\,\mathrm{ANN}(x),
+
+    where ``g`` is a user-supplied smooth extension of the boundary data over
+    the closed box (``u \equiv g`` on every face by construction) and
+    :math:`\phi` vanishes on the whole boundary. This is the d-dimensional
+    generalization of :class:`DirichletBVP2D`'s
+    :math:`\tilde x(1-\tilde x)\tilde y(1-\tilde y)` factor (reference
+    ``conditions.py:438-509``) — the reference has no high-dimensional
+    condition class at all; pair this one with
+    :class:`~neurodiffeq_tpu.generators.GeneratorHypercube` and
+    :func:`~neurodiffeq_tpu.operators.stde_laplacian` for d ≫ 3 problems,
+    keeping boundaries exact instead of falling back to a tuned boundary
+    penalty.
+
+    Three masks, all vanishing exactly (and to *first* order — a mask
+    vanishing quadratically would also pin :math:`\partial u/\partial n` to
+    ``g``'s, over-constraining the trial space) on every face, built from
+    the normalized per-face factors
+    :math:`\phi_i = 4(x_i - a_i)(b_i - x_i)/(b_i - a_i)^2 \in [0, 1]`:
+
+    - ``mask='product'``: :math:`\phi = \prod_i \phi_i` — a polynomial,
+      :math:`C^\infty` everywhere including corners (exactly DirichletBVP2D's
+      bubble at d=2, up to the constant 16). Best conditioning at low d, but
+      its typical interior magnitude decays like :math:`e^{-0.61 d}`
+      (4·x(1-x) has mean log −0.61 on [0,1]), which un-trains the ANN past
+      d ≈ 10-15; construction raises beyond ``dim=16``.
+    - ``mask='sat'`` (saturated product):
+
+      .. math:: \phi = \prod_i \bigl(1 - (1 - \phi_i)^k\bigr),
+          \qquad k = \texttt{dim} \text{ by default.}
+
+      Each factor saturates to ~1 unless :math:`x_i` is within O(1/k) of
+      its faces, so with :math:`k = d` only O(1) factors are below 1 at a
+      random point and the mask's interior magnitude is *dimension-free*
+      (median ≈ 0.68 at d = 5 and at d = 100, measured over iid points).
+      Still polynomial and :math:`C^\infty`; curvature is bounded by
+      O(:math:`k^2`) in a 1/k-layer at each face. This is the mask that
+      makes exact constraints train at d ≫ 10 — measured on the d-dim
+      Poisson benchmark (`benchmarks/stde_ab.py`): rel-L2 0.006 at d=5,
+      0.012 at d=20 (3000 epochs, stde Laplacian), where 'adf' stalls at
+      0.28 and 'product' has underflowed.
+    - ``mask='adf'``: the R-function approximate-distance combination
+      (Sukumar & Srivastava 2022, "Exact imposition of boundary conditions
+      with distance functions in physics-informed deep networks", CMAME
+      389:114333; m=1 R-equivalence), :math:`\phi = d / \sum_i 1/\phi_i`,
+      scaled so :math:`\phi = 1` at the box center at any dimension.
+      **Caveat (measured):** its second derivatives grow like the inverse
+      distance to the nearest *edge* (any degree-1 homogeneous min-like
+      combination does), so **strong-form** residuals near edges blow up
+      and training stalls (rel-L2 0.28 vs 0.006 for 'sat' on the d=5
+      benchmark above). Use it with the ``'variational'`` (Deep Ritz) loss,
+      where only the mask's bounded *first* derivatives enter, or for pure
+      interpolation; prefer ``'sat'`` for strong-form PINN training.
+
+    ``mask='auto'`` (the default) picks ``'product'`` for ``dim`` <= 10 and
+    ``'sat'`` above.
+
+    :param dim: Number of coordinates d.
+    :type dim: int
+    :param boundary_fn: The boundary-data extension ``g``: a callable of the
+        d coordinate Fields (written with the math in
+        :mod:`neurodiffeq_tpu.fields`), defined on the *closed* box, whose
+        restriction to the boundary is the Dirichlet data. Pass ``None`` for
+        homogeneous (g = 0) data. In practice boundary data usually comes as
+        the restriction of a known closed-form ambient function — pass that
+        function.
+    :param r_min: scalar or length-d lower bounds :math:`a_i`. Defaults to 0.
+    :param r_max: scalar or length-d upper bounds :math:`b_i`. Defaults to 1.
+    :param mask: ``'auto'``, ``'product'``, ``'sat'``, or ``'adf'``, see above.
+    :type mask: str
+    :param k: Saturation order of the ``'sat'`` mask; defaults to ``dim``.
+        Larger k -> mask closer to 1 in the interior but curvature O(k^2)
+        near faces; smaller k drifts toward the product's decay.
+    :type k: int, optional
+
+    .. note::
+        The ADF mask computes :math:`1/(\phi_i + \epsilon)` with
+        :math:`\epsilon = \sqrt{\text{tiny}}` of the active dtype
+        (~1e-154 in float64, ~1e-19 in float32) instead of a hard clamp:
+        the formula stays smooth (no ``where`` branches — safe for
+        arbitrary-order Taylor/jet differentiation) and evaluating exactly
+        ON a face returns ``g`` to within :math:`d\,\epsilon\,|\mathrm{ANN}|`,
+        which rounds to ``g`` at both precisions.
+    """
+
+    def __init__(self, dim, boundary_fn=None, r_min=0.0, r_max=1.0, mask='auto', k=None):
+        super().__init__()
+        if dim < 1:
+            raise ValueError(f"dim must be >= 1, got {dim}")
+        if mask == 'auto':
+            mask = 'product' if dim <= 10 else 'sat'
+        if mask not in ('adf', 'product', 'sat'):
+            raise ValueError(
+                f"mask must be 'auto', 'product', 'sat' or 'adf', got {mask!r}")
+        if mask == 'product' and dim > 16:
+            raise ValueError(
+                f"mask='product' underflows/un-trains past d~10-15 (typical "
+                f"interior magnitude e^(-0.61*{dim}) here); use mask='sat'")
+        if k is not None and (mask != 'sat' or k < 1):
+            raise ValueError("k is the saturation order of mask='sat' (k >= 1)")
+        self.k = int(k) if k is not None else dim
+        r_min = tuple(float(v) for v in np.atleast_1d(r_min)) if np.ndim(r_min) \
+            else (float(r_min),) * dim
+        r_max = tuple(float(v) for v in np.atleast_1d(r_max)) if np.ndim(r_max) \
+            else (float(r_max),) * dim
+        if len(r_min) != dim or len(r_max) != dim:
+            raise ValueError(
+                f"r_min/r_max must be scalars or length-{dim}: "
+                f"got {len(r_min)}/{len(r_max)}")
+        if any(hi <= lo for lo, hi in zip(r_min, r_max)):
+            raise ValueError(f"Illegal box [{r_min}, {r_max}]")
+        if boundary_fn is not None and not callable(boundary_fn):
+            raise TypeError("boundary_fn must be a callable of the coordinate "
+                            "Fields (or None for homogeneous data)")
+        self.dim = dim
+        self.boundary_fn = boundary_fn
+        self.r_min, self.r_max = r_min, r_max
+        self.mask = mask
+
+    def mask_field(self, *xs):
+        """The mask :math:`\\phi` as a Field of the given coordinates —
+        exposed so benchmarks/users can reuse the exact vanishing factor
+        (e.g. to manufacture solutions with known boundary gaps)."""
+        phis = [4.0 * (x - a) * (b - x) / (b - a) ** 2
+                for x, a, b in zip(xs, self.r_min, self.r_max)]
+        if self.mask == 'product':
+            phi = phis[0]
+            for p in phis[1:]:
+                phi = phi * p
+            return phi
+        if self.mask == 'sat':
+            phi = 1.0 - (1.0 - phis[0]) ** self.k
+            for p in phis[1:]:
+                phi = phi * (1.0 - (1.0 - p) ** self.k)
+            return phi
+        from .utils import get_default_dtype
+        eps = float(np.sqrt(np.finfo(np.dtype(get_default_dtype())).tiny))
+        s = 1.0 / (phis[0] + eps)
+        for p in phis[1:]:
+            s = s + 1.0 / (p + eps)
+        return float(self.dim) / s
+
+    def parameterize(self, output_tensor, *xs):
+        if len(xs) != self.dim:
+            raise ValueError(f"expected {self.dim} coordinates, got {len(xs)}")
+        u = self.mask_field(*xs) * output_tensor
+        if self.boundary_fn is not None:
+            u = self.boundary_fn(*xs) + u
+        return u
 
 
 class IBVP1D(BaseCondition):

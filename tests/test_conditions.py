@@ -110,6 +110,103 @@ def test_dirichlet_bvp_2d_exact_with_compatible_corners():
     assert np.allclose(cond.enforce(net, params, x, y).value, 0.0, atol=ATOL)
 
 
+@pytest.mark.parametrize("d", [2, 5, 10])
+@pytest.mark.parametrize("mask", ['adf', 'product', 'sat'])
+def test_dirichlet_box_nd_exact_on_faces(d, mask):
+    """u == g on every face of the d-dim box with an untrained net, for both
+    mask forms — including edge/corner points (several coords snapped)."""
+    net, params = _net(d, seed=d)
+    g = lambda *xs: sum(F.sin(np.pi * x) for x in xs) / len(xs) + 0.7  # noqa: E731
+    cond = C.DirichletBoxND(d, boundary_fn=g, mask=mask)
+    rng = np.random.default_rng(d)
+    pts = rng.random((N, d))
+    # snap 1 coordinate on the first half, 2 (an edge) on the second half
+    rows = np.arange(N)
+    pts[rows, rng.integers(0, d, N)] = rng.integers(0, 2, N).astype(float)
+    half = rows[N // 2:]
+    pts[half, rng.integers(0, d, N // 2)] = rng.integers(0, 2, N // 2).astype(float)
+    coords = F.coordinates(*[pts[:, i] for i in range(d)])
+    u = cond.enforce(net, params, *coords)
+    gv = np.sin(np.pi * pts).sum(axis=1, keepdims=True) / d + 0.7
+    assert np.allclose(np.asarray(u.value), gv, atol=ATOL)
+    # ... while the interior is NOT pinned to g (the net can act)
+    ipts = rng.random((N, d)) * 0.9 + 0.05
+    icoords = F.coordinates(*[ipts[:, i] for i in range(d)])
+    ui = np.asarray(cond.enforce(net, params, *icoords).value)
+    gi = np.sin(np.pi * ipts).sum(axis=1, keepdims=True) / d + 0.7
+    assert np.abs(ui - gi).max() > 1e-4
+
+
+def test_dirichlet_box_nd_anisotropic_homogeneous_and_derivatives():
+    """Per-axis bounds; boundary_fn=None means u == 0 on the boundary; the
+    ADF mask's Laplacian stays finite at near-corner interior points."""
+    from neurodiffeq_tpu.operators import laplacian
+    d = 4
+    net, params = _net(d)
+    lo, hi = (0.0, -1.0, 2.0, 0.5), (1.0, 1.0, 5.0, 0.6)
+    cond = C.DirichletBoxND(d, None, r_min=lo, r_max=hi)
+    rng = np.random.default_rng(1)
+    pts = lo + rng.random((N, d)) * (np.asarray(hi) - np.asarray(lo))
+    axes = rng.integers(0, d, N)
+    sides = rng.integers(0, 2, N)
+    pts[np.arange(N), axes] = np.where(
+        sides == 0, np.asarray(lo)[axes], np.asarray(hi)[axes])
+    coords = F.coordinates(*[pts[:, i] for i in range(d)])
+    assert np.allclose(np.asarray(cond.enforce(net, params, *coords).value),
+                       0.0, atol=ATOL)
+    # derivatives: laplacian finite even with one coordinate 1e-6 from a face
+    ipts = lo + rng.random((32, d)) * (np.asarray(hi) - np.asarray(lo))
+    ipts[:, 0] = lo[0] + 1e-6
+    ic = F.coordinates(*[ipts[:, i] for i in range(d)])
+    lap = np.asarray(laplacian(cond.enforce(net, params, *ic), *ic).value)
+    assert np.all(np.isfinite(lap))
+
+
+def test_dirichlet_box_nd_sat_mask_scale_and_exactness_at_high_d():
+    """The saturated-product mask keeps a dimension-free interior magnitude
+    (median ~0.68 at any d with k=dim) while still vanishing exactly on
+    faces — the property that makes exact constraints usable at d >> 10."""
+    d = 40
+    cond = C.DirichletBoxND(d)  # auto -> 'sat', k=dim
+    assert cond.mask == 'sat' and cond.k == d
+    rng = np.random.default_rng(2)
+    pts = rng.random((256, d))
+    coords = F.coordinates(*[pts[:, i] for i in range(d)])
+    m = np.asarray(cond.mask_field(*coords).value).ravel()
+    assert 0.4 < np.median(m) < 0.9, f"interior mask median {np.median(m):.3f}"
+    pts[np.arange(64), rng.integers(0, d, 64)] = rng.integers(0, 2, 64).astype(float)
+    coords = F.coordinates(*[pts[:64, i] for i in range(d)])
+    m = np.asarray(cond.mask_field(*coords).value).ravel()
+    assert np.all(m == 0.0), "sat mask must vanish exactly on faces"
+
+
+def test_dirichlet_box_nd_validation():
+    with pytest.raises(ValueError):
+        C.DirichletBoxND(0)
+    with pytest.raises(ValueError):
+        C.DirichletBoxND(3, mask='gaussian')
+    with pytest.raises(ValueError, match="underflows"):
+        C.DirichletBoxND(40, mask='product')
+    with pytest.raises(ValueError, match="saturation"):
+        C.DirichletBoxND(3, mask='product', k=4)
+    with pytest.raises(ValueError, match="saturation"):
+        C.DirichletBoxND(3, mask='sat', k=0)
+    assert C.DirichletBoxND(5).mask == 'product'   # auto, low d
+    assert C.DirichletBoxND(11).mask == 'sat'      # auto, high d
+    assert C.DirichletBoxND(11, mask='sat', k=30).k == 30
+    with pytest.raises(ValueError):
+        C.DirichletBoxND(3, r_min=(0.0, 0.0), r_max=1.0)
+    with pytest.raises(ValueError):
+        C.DirichletBoxND(2, r_min=1.0, r_max=0.0)
+    with pytest.raises(TypeError):
+        C.DirichletBoxND(2, boundary_fn=3.14)
+    net, params = _net(3)
+    cond = C.DirichletBoxND(3)
+    x, y = F.coordinates(np.random.rand(N), np.random.rand(N))
+    with pytest.raises(ValueError, match="coordinates"):
+        cond.enforce(net, params, x, y)
+
+
 @pytest.mark.parametrize("bc", ['dd', 'dn', 'nd', 'nn'])
 def test_ibvp_1d(bc):
     net, params = _net(2)

@@ -97,6 +97,28 @@ def test_dirichlet_bvp_2d_edges_f32():
         assert np.allclose(cond.enforce(net, params, x, y).value, 0.0, atol=ATOL)
 
 
+@pytest.mark.parametrize("d", [2, 5, 10])
+@pytest.mark.parametrize("mask", ['adf', 'product', 'sat'])
+def test_dirichlet_box_nd_anchors_f32(d, mask):
+    """DirichletBoxND exact on faces (and edges) at the shipped f32 default.
+    The ADF's 1/(phi_i + sqrt(tiny)) smoothing leaves a ~d*1e-19*|ANN|
+    boundary defect — far below f32 round-off of O(1) values."""
+    net, params = _net(d)
+    g = lambda *xs: sum(F.sin(np.pi * x) for x in xs) / len(xs) + 0.7  # noqa: E731
+    cond = C.DirichletBoxND(d, boundary_fn=g, mask=mask)
+    rng = np.random.RandomState(d)
+    pts = rng.rand(N, d)
+    rows = np.arange(N)
+    pts[rows, rng.randint(0, d, N)] = rng.randint(0, 2, N).astype(float)
+    half = rows[N // 2:]
+    pts[half, rng.randint(0, d, N // 2)] = rng.randint(0, 2, N // 2).astype(float)
+    coords = F.coordinates(*[pts[:, i] for i in range(d)])
+    u = np.asarray(cond.enforce(net, params, *coords).value)
+    gv = np.sin(np.pi * pts).sum(axis=1, keepdims=True) / d + 0.7
+    # f32 positions: sin(pi*x) of a rounded x costs up to ~pi*eps_f32
+    assert np.allclose(u, gv, atol=1e-5)
+
+
 def test_ibvp_anchors_f32():
     net, params = _net(2)
     cond = C.IBVP1D(
