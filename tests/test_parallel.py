@@ -357,3 +357,157 @@ def test_causal_loss_matches_unsharded_on_mesh():
     g_mesh = jax.jit(jax.grad(lambda p: s_mesh._loss_and_metrics(p, cols)[0]))(s_mesh.params)
     for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_mesh)):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+
+# ---------------------------------------------------------------- round-4/5
+# Mesh-parity coverage for the features added in round 4: every new
+# training-path component must compose with the sharding layer provably
+# (loss AND gradient equality sharded vs unsharded at identical
+# params/points, or trajectory equality for generator-driven fits).
+
+
+def _grad_parity(s_plain, s_mesh, cols, atol=1e-8):
+    loss_plain, _ = s_plain._loss_and_metrics(s_plain.params, cols)
+    loss_mesh, _ = jax.jit(s_mesh._loss_and_metrics)(s_mesh.params, cols)
+    assert np.isclose(float(loss_plain), float(loss_mesh), rtol=1e-6), \
+        f"loss mismatch: {float(loss_plain)} vs {float(loss_mesh)}"
+    g_plain = jax.grad(lambda p: s_plain._loss_and_metrics(p, cols)[0])(s_plain.params)
+    g_mesh = jax.jit(jax.grad(lambda p: s_mesh._loss_and_metrics(p, cols)[0]))(s_mesh.params)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_mesh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
+
+
+def test_stde_laplacian_matches_unsharded_on_mesh():
+    """Sharded-semantics contract for the stochastic Laplacian: the probe key
+    folds a GLOBAL reduction over the points buffer (`_stde_probe_key`'s
+    `bits.sum()` — an order-independent uint32 wraparound sum, so GSPMD's
+    psum over shards reproduces it exactly), making the probe stream
+    shard-invariant: every device sees the same replicated probe directions
+    it would see unsharded. Pin loss AND gradient parity on the mesh."""
+    from neurodiffeq_tpu.solvers import GenericSolver
+    from neurodiffeq_tpu.conditions import DirichletBoxND
+    from neurodiffeq_tpu.generators import GeneratorHypercube
+    from neurodiffeq_tpu.operators import stde_laplacian
+    from neurodiffeq_tpu import fields as F
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    d = 3
+    pde = lambda u, *xs: [stde_laplacian(u, *xs, n_est=4)
+                          + sum(F.sin(np.pi * x) for x in xs)]
+    common = dict(
+        diff_eqs=pde,
+        conditions=[DirichletBoxND(d)],
+        train_generator=GeneratorHypercube(8 * n_dev, dim=d),
+        valid_generator=GeneratorHypercube(8 * n_dev, dim=d),
+        n_input_units=d, n_output_units=1, n_batches_valid=0,
+        key=jax.random.PRNGKey(7),
+    )
+    s_plain = GenericSolver(**common)
+    s_mesh = GenericSolver(**common, mesh=mesh)
+
+    rng = np.random.RandomState(0)
+    pts = rng.rand(8 * n_dev, d)
+    cols = [pts[:, i:i + 1] for i in range(d)]
+    _grad_parity(s_plain, s_mesh, cols)
+
+
+def test_variational_loss_matches_unsharded_on_mesh():
+    """Deep Ritz energy loss under the points mesh: the loss is a plain mean
+    over the (sharded) points axis of a first-derivative density — parity of
+    loss and gradient with the unsharded run."""
+    from neurodiffeq_tpu import fields as F
+    from neurodiffeq_tpu.conditions import DirichletBVP
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    # 1-D Poisson -u'' = pi^2 sin(pi t): energy density 0.5 u'^2 - f u
+    density = lambda u, t: [0.5 * diff(u, t) ** 2
+                            - (np.pi ** 2) * F.sin(np.pi * t) * u]
+    common = dict(
+        ode_system=density,
+        conditions=[DirichletBVP(t_0=0.0, u_0=0.0, t_1=1.0, u_1=0.0)],
+        t_min=0.0, t_max=1.0,
+        loss_fn='variational',
+        train_generator=Generator1D(8 * n_dev, 0, 1, method='uniform'),
+        valid_generator=Generator1D(8 * n_dev, 0, 1, method='uniform'),
+        key=jax.random.PRNGKey(7),
+        n_batches_valid=0,
+    )
+    s_plain = Solver1D(**common)
+    s_mesh = Solver1D(**common, mesh=mesh)
+    rng = np.random.RandomState(1)
+    cols = [rng.rand(8 * n_dev, 1)]
+    _grad_parity(s_plain, s_mesh, cols)
+
+
+@pytest.mark.parametrize('net_name', ['siren', 'fourier'])
+def test_round4_nets_match_unsharded_on_mesh(net_name):
+    """SIREN and FourierFCNN forward/backward under the points mesh: the nets
+    are replicated, points sharded — loss/grad parity with unsharded."""
+    from neurodiffeq_tpu.networks import SIREN, FourierFCNN
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    net = (SIREN(n_input_units=1, n_output_units=1, hidden_units=(16, 16), w0=5.0)
+           if net_name == 'siren' else
+           FourierFCNN(n_input_units=1, n_output_units=1, n_features=8,
+                       sigma=1.0, hidden_units=(16,)))
+    common = dict(
+        ode_system=lambda u, t: [diff(u, t) + u],
+        conditions=[IVP(t_0=0.0, u_0=1.0)],
+        t_min=0.0, t_max=2.0,
+        nets=[net],
+        train_generator=Generator1D(8 * n_dev, 0, 2, method='equally-spaced'),
+        valid_generator=Generator1D(8 * n_dev, 0, 2, method='equally-spaced'),
+        key=jax.random.PRNGKey(7),
+    )
+    s_plain = Solver1D(**common)
+    s_mesh = Solver1D(**common, mesh=mesh)
+    rng = np.random.RandomState(2)
+    cols = [2.0 * rng.rand(8 * n_dev, 1)]
+    _grad_parity(s_plain, s_mesh, cols)
+
+
+def test_halton_hypercube_fit_on_mesh_matches_unsharded():
+    """GeneratorHypercube('halton') sampling inside the sharded fit: with the
+    same solver key the scrambled-Halton point stream is identical sharded vs
+    unsharded, so the full loss trajectory must match."""
+    from neurodiffeq_tpu.solvers import GenericSolver
+    from neurodiffeq_tpu.conditions import DirichletBoxND
+    from neurodiffeq_tpu.generators import GeneratorHypercube
+    from neurodiffeq_tpu.operators import laplacian
+    from neurodiffeq_tpu import fields as F
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    d = 2
+
+    def build(m):
+        return GenericSolver(
+            diff_eqs=lambda u, *xs: [laplacian(u, *xs)
+                                     + sum(F.sin(np.pi * x) for x in xs)],
+            conditions=[DirichletBoxND(d)],
+            train_generator=GeneratorHypercube(8 * n_dev, dim=d, method='halton'),
+            valid_generator=GeneratorHypercube(8 * n_dev, dim=d),
+            n_input_units=d, n_output_units=1, n_batches_valid=0,
+            key=jax.random.PRNGKey(11),
+            mesh=m,
+        )
+
+    from neurodiffeq_tpu.utils import set_seed
+
+    s_mesh = build(mesh)
+    s_plain = build(None)
+    # fit() draws its per-epoch sampling keys from the GLOBAL stream
+    # (solvers.py `next_rng_key()`), and halton points are key-dependent —
+    # pin the stream so both runs see identical point batches.
+    set_seed(3)
+    s_mesh.fit(max_epochs=40, tqdm_file=None)
+    set_seed(3)
+    s_plain.fit(max_epochs=40, tqdm_file=None)
+    h_mesh = np.asarray(s_mesh.metrics_history['train_loss'])
+    h_plain = np.asarray(s_plain.metrics_history['train_loss'])
+    assert np.isfinite(h_mesh).all()
+    np.testing.assert_allclose(h_mesh, h_plain, rtol=1e-5)
+    assert h_mesh[-1] < h_mesh[0]
