@@ -18,6 +18,7 @@ from .fields import Field, diff, sin, cos, sqrt, atan2
 
 __all__ = [
     'grad', 'div', 'curl', 'laplacian', 'vector_laplacian', 'stde_laplacian',
+    'stde_biharmonic',
     'spherical_grad', 'spherical_div', 'spherical_curl', 'spherical_laplacian',
     'spherical_vector_laplacian', 'spherical_to_cartesian', 'cartesian_to_spherical',
     'cylindrical_grad', 'cylindrical_div', 'cylindrical_curl', 'cylindrical_laplacian',
@@ -225,6 +226,100 @@ def stde_laplacian(u, *xs, n_est=16, salt=0):
         return Vf.reshape(n_est, d_sel)
 
     return Field(fn, coords, aux=u.aux + (V.reshape(n, n_est * d_sel),))
+
+
+def stde_biharmonic(u, *xs, n_est=16, salt=0):
+    r"""Unbiased stochastic estimator of the **biharmonic** operator
+    :math:`\Delta^2 u = \sum_{i,j} \partial^4 u / \partial x_i^2 \partial x_j^2`
+    for high-dimensional problems — the fourth-order member of the Stochastic
+    Taylor Derivative Estimator family (Shi et al. 2024, arXiv:2412.00088,
+    which covers arbitrary-order operators; :func:`stde_laplacian` is the
+    order-2 case). No reference counterpart
+    (`/root/reference/neurodiffeq/operators.py` stops at second order and
+    computes every partial explicitly).
+
+    The exact biharmonic needs one fourth-derivative chain per coordinate
+    *pair* — :math:`O(d^2)` passes, hopeless already at moderate d (and the
+    reason the shipped guidance "prefer Ritz when derivative order is the
+    bottleneck", ``losses.py``, exists). This estimator instead averages
+    ``n_est`` mixed fourth directional derivatives over *pairs* of
+    independent Rademacher probes:
+
+    .. math:: \widehat{\Delta^2 u} = \tfrac1J \sum_{j=1}^{J}
+        D^4 u[v_j, v_j, w_j, w_j], \qquad v_j, w_j \in \{\pm 1\}^d
+        \text{ independent},
+
+    which is unbiased: :math:`E[v v^T] = E[w w^T] = I` and independence give
+    :math:`E[D^4u[v,v,w,w]] = \sum_{ij} \partial^4 u / \partial x_i^2
+    \partial x_j^2`. (A single probe used four times is *biased*: Rademacher
+    fourth moments make :math:`E[D^4u[v,v,v,v]] = 3\Delta^2 u - 2\sum_i
+    u_{iiii}`.) Because :math:`v_i^2 = w_j^2 = 1`, the "diagonal" tensor
+    entries :math:`u_{iijj}` — the biharmonic itself — contribute exactly on
+    EVERY draw; the variance comes only from off-diagonal fourth-derivative
+    entries, so the estimator is pointwise exact on additively separable
+    functions (e.g. :math:`\sum_i c_i x_i^4`). Cost: four nested ``jvp``
+    levels per probe pair, O(``n_est``) independent of d.
+
+    Probe keys follow the same **determinism contract** as
+    :func:`stde_laplacian` (pure function of the global seed, coordinate
+    indices, ``n_est``, ``salt``, and the points; ``tag=4`` decorrelates it
+    from a Laplacian estimate on the same points). Pair it with a stochastic
+    generator so probes refresh each epoch, and pass distinct ``salt`` values
+    to decorrelate otherwise-identical calls.
+
+    For clamped-plate problems on a box, combine with
+    :class:`~neurodiffeq_tpu.conditions.DirichletBoxND` using a squared mask
+    (``u = g + phi^2 * ANN`` enforces both ``u`` and ``grad u`` on the
+    boundary exactly); see ``benchmarks/biharmonic_ab.py``.
+
+    :param u: A scalar Field (N, 1).
+    :param xs: Coordinate Fields to sum over (pass all coordinates for the
+        full biharmonic).
+    :param n_est: Number of probe *pairs* J, defaults to 16.
+    :type n_est: int
+    :param salt: Integer folded into the probe key; use distinct values to
+        decorrelate otherwise-identical estimator calls. Defaults to 0.
+    :type salt: int
+    :return: A scalar Field estimating
+        :math:`\sum_{i,j} \partial^4 u/\partial x_i^2 \partial x_j^2`.
+    :rtype: Field
+    """
+    if not isinstance(u, Field):
+        raise TypeError(f"stde_biharmonic expects a Field, got {type(u)}")
+    for x in xs:
+        if not isinstance(x, Field) or x.index is None:
+            raise TypeError(
+                "stde_biharmonic expects coordinate Fields as independent variables")
+    if not xs:
+        raise TypeError("stde_biharmonic needs at least one coordinate")
+
+    coords = u.coords
+    pts = coords.points
+    n, d = pts.shape
+    idx = jnp.asarray([x.index for x in xs])
+    d_sel = len(xs)
+
+    key = _stde_probe_key(pts, (x.index for x in xs), n_est, salt, tag=4)
+    V = jax.random.rademacher(key, (n, n_est, 2, d_sel), dtype=pts.dtype)
+
+    inner = u.fn
+    n_u_aux = len(u.aux)
+
+    def fn(z, *aux):
+        u_aux, Vf = aux[:n_u_aux], aux[n_u_aux]
+        f = lambda zz: jnp.reshape(inner(zz, *u_aux), ())
+
+        def d4(vw):
+            v = jnp.zeros_like(z).at[idx].set(vw[0])
+            w = jnp.zeros_like(z).at[idx].set(vw[1])
+            g1 = lambda zz: jax.jvp(f, (zz,), (v,))[1]    # D^1 u[v]
+            g2 = lambda zz: jax.jvp(g1, (zz,), (v,))[1]   # D^2 u[v,v]
+            g3 = lambda zz: jax.jvp(g2, (zz,), (w,))[1]   # D^3 u[v,v,w]
+            return jax.jvp(g3, (z,), (w,))[1]             # D^4 u[v,v,w,w]
+
+        return jnp.mean(jax.vmap(d4)(Vf.reshape(n_est, 2, d_sel)))
+
+    return Field(fn, coords, aux=u.aux + (V.reshape(n, n_est * 2 * d_sel),))
 
 
 # ----------------------------------------------------------------- spherical

@@ -339,3 +339,122 @@ def test_stde_validates_inputs():
         ops.stde_laplacian(u)
     with pytest.raises(TypeError):
         ops.stde_laplacian(u, u * 2)  # not a coordinate
+
+# ------------------------------------------- stochastic biharmonic (STDE-4)
+
+def test_stde_biharmonic_exact_on_separable_quartic():
+    # u = sum c_i x_i^4 (+ lower order): the 4th-derivative tensor has only
+    # i=j=k=l entries, which contribute v_i^2 w_i^2 = 1 exactly on every
+    # Rademacher draw — zero-variance, any n_est.
+    coords = F.coordinates(*[np.random.rand(64) for _ in range(5)])
+    u = sum((i + 1.0) * c * c * c * c for i, c in enumerate(coords))
+    u = u + 3 * coords[0] * coords[0] * coords[1]  # degree-3: D^4 = 0
+    est = ops.stde_biharmonic(u, *coords, n_est=2)
+    true = 24.0 * sum(i + 1.0 for i in range(5))  # sum_i 24 c_i
+    assert _max(est - true) < 1e-4
+
+
+def test_stde_biharmonic_exact_in_taylor_mode():
+    coords = F.coordinates(*[np.random.rand(64) for _ in range(4)])
+    with F.eval_mode('taylor'):
+        u = sum(c * c * c * c for c in coords)
+        est = ops.stde_biharmonic(u, *coords, n_est=2)
+        assert _max(est - 96.0) < 1e-4
+
+
+def test_stde_biharmonic_unbiased_with_cross_terms():
+    # u = x0^2 x1^2: Delta^2 u = u_0000 + u_1111 + 2 u_0011 = 0 + 0 + 2*4 = 8;
+    # the off-diagonal entries (u_0011 reached via v0 v0 w1 w1 AND the
+    # mixed-index ones via e.g. v0 v1 w0 w1) make single probe pairs noisy,
+    # but the mean converges to the true biharmonic.
+    coords = F.coordinates(*[np.random.rand(256) for _ in range(4)])
+    x0, x1 = coords[0], coords[1]
+    u = x0 * x0 * x1 * x1
+    errs = {}
+    for n_est in (8, 1024):
+        est = np.asarray(ops.stde_biharmonic(u, *coords, n_est=n_est).value)
+        errs[n_est] = float(np.abs(est - 8.0).mean())
+    assert errs[1024] < errs[8]
+    assert errs[1024] < 0.6
+
+
+def test_stde_biharmonic_single_probe_would_be_biased():
+    # sanity check of the independence requirement documented in the
+    # docstring: on u = sum x_i^4, E[D^4 u[v,v,v,v]] = 3*Delta^2 u
+    # - 2*sum u_iiii = 24d (same as Delta^2 u) -- separable is NOT the
+    # discriminating case; on u = x0^2 x1^2 the paired estimator converges
+    # to 8 while the v=w contraction D^4 u[v,v,v,v] = 24 x0x1 v0v1 ... has
+    # expectation 3*8 - 0 = 24. Verify the PAIRED estimator does not drift
+    # toward 24.
+    coords = F.coordinates(*[np.random.rand(512) for _ in range(3)])
+    x0, x1 = coords[0], coords[1]
+    u = x0 * x0 * x1 * x1
+    est = float(np.asarray(
+        ops.stde_biharmonic(u, *coords, n_est=2048).value).mean())
+    assert abs(est - 8.0) < 1.0
+    assert abs(est - 24.0) > 10.0
+
+
+def test_stde_biharmonic_subset_of_coordinates():
+    # partial contraction: sum over a subset S of sum_{i,j in S} u_iijj
+    coords = F.coordinates(*[np.random.rand(64) for _ in range(3)])
+    x0, x1, x2 = coords
+    u = x0 * x0 * x0 * x0 + 5 * x2 * x2 * x2 * x2
+    est = ops.stde_biharmonic(u, x0, x1, n_est=2)
+    assert _max(est - 24.0) < 1e-4
+
+
+def test_stde_biharmonic_gradients_flow_and_jit():
+    import jax.numpy as jnp
+    net = FCNN(n_input_units=4, n_output_units=1, hidden_units=(16,))
+    params = net.init(jax.random.PRNGKey(1))
+    pts = np.random.rand(16, 4)
+
+    def loss(params):
+        coords = F.coordinates(*[pts[:, i] for i in range(4)])
+        u = F.network_field(lambda xs: net.apply(params, xs), coords[0].coords)
+        bh = ops.stde_biharmonic(u, *coords, n_est=4)
+        return jnp.mean(bh.value ** 2)
+
+    g = jax.grad(loss)(params)
+    assert all(np.all(np.isfinite(l)) for l in jax.tree.leaves(g))
+    lj = jax.jit(loss)
+    assert float(lj(params)) == float(lj(params))
+
+
+def test_stde_biharmonic_determinism_contract():
+    # same contract as stde_laplacian: probes are a pure function of
+    # (seed, coord indices, n_est, salt, points) with tag=4, so a Laplacian
+    # estimate on the same points draws DIFFERENT probes
+    from neurodiffeq_tpu.utils import set_seed
+    d = 3
+    pts = np.random.rand(64, d)
+
+    def run(salt=0):
+        coords = F.coordinates(*[pts[:, i] for i in range(d)])
+        x0, x1 = coords[0], coords[1]
+        u = x0 * x0 * x1 * x1
+        return np.asarray(ops.stde_biharmonic(u, *coords, n_est=2, salt=salt).value)
+
+    set_seed(0)
+    a = run()
+    b = run()
+    assert np.array_equal(a, b)
+    c = run(salt=1)
+    assert not np.allclose(a, c)
+    set_seed(123)
+    e = run()
+    assert not np.allclose(a, e)
+    set_seed(0)
+    assert np.array_equal(run(), a)
+
+
+def test_stde_biharmonic_validates_inputs():
+    coords = F.coordinates(np.random.rand(8), np.random.rand(8))
+    u = coords[0] * coords[1]
+    with pytest.raises(TypeError):
+        ops.stde_biharmonic(np.zeros(8), *coords)
+    with pytest.raises(TypeError):
+        ops.stde_biharmonic(u)
+    with pytest.raises(TypeError):
+        ops.stde_biharmonic(u, u * 2)
