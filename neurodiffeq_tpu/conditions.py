@@ -431,6 +431,17 @@ class DirichletBoxND(BaseCondition):
         Larger k -> mask closer to 1 in the interior but curvature O(k^2)
         near faces; smaller k drifts toward the product's decay.
     :type k: int, optional
+    :param power: Vanishing order of the mask in the reparameterization
+        :math:`u = g + \phi^{\text{power}}\,\mathrm{ANN}`. The default 1
+        pins only :math:`u = g` on the boundary (a quadratic mask would
+        over-constrain a second-order problem, see above). ``power=2`` is
+        the **clamped** condition for fourth-order problems (plate
+        equation / :func:`~neurodiffeq_tpu.operators.stde_biharmonic`):
+        :math:`\phi^2` vanishes to second order on every face, so *both*
+        :math:`u = g` and :math:`\partial u/\partial n = \partial g/
+        \partial n` hold by construction — ``g`` must then extend both the
+        boundary values and the boundary normal derivatives.
+    :type power: int
 
     .. note::
         The ADF mask computes :math:`1/(\phi_i + \epsilon)` with
@@ -442,10 +453,15 @@ class DirichletBoxND(BaseCondition):
         which rounds to ``g`` at both precisions.
     """
 
-    def __init__(self, dim, boundary_fn=None, r_min=0.0, r_max=1.0, mask='auto', k=None):
+    def __init__(self, dim, boundary_fn=None, r_min=0.0, r_max=1.0, mask='auto',
+                 k=None, power=1):
         super().__init__()
         if dim < 1:
             raise ValueError(f"dim must be >= 1, got {dim}")
+        if int(power) != power or power < 1:
+            raise ValueError(
+                f"power must be a positive integer (1 = Dirichlet, 2 = "
+                f"clamped), got {power!r}")
         if mask == 'auto':
             mask = 'product' if dim <= 10 else 'sat'
         if mask not in ('adf', 'product', 'sat'):
@@ -475,6 +491,7 @@ class DirichletBoxND(BaseCondition):
         self.boundary_fn = boundary_fn
         self.r_min, self.r_max = r_min, r_max
         self.mask = mask
+        self.power = int(power)
 
     def mask_field(self, *xs):
         """The mask :math:`\\phi` as a Field of the given coordinates —
@@ -502,7 +519,10 @@ class DirichletBoxND(BaseCondition):
     def parameterize(self, output_tensor, *xs):
         if len(xs) != self.dim:
             raise ValueError(f"expected {self.dim} coordinates, got {len(xs)}")
-        u = self.mask_field(*xs) * output_tensor
+        phi = self.mask_field(*xs)
+        if self.power > 1:
+            phi = phi ** self.power
+        u = phi * output_tensor
         if self.boundary_fn is not None:
             u = self.boundary_fn(*xs) + u
         return u

@@ -18,7 +18,7 @@ from .fields import Field, diff, sin, cos, sqrt, atan2
 
 __all__ = [
     'grad', 'div', 'curl', 'laplacian', 'vector_laplacian', 'stde_laplacian',
-    'stde_biharmonic',
+    'biharmonic', 'stde_biharmonic',
     'spherical_grad', 'spherical_div', 'spherical_curl', 'spherical_laplacian',
     'spherical_vector_laplacian', 'spherical_to_cartesian', 'cartesian_to_spherical',
     'cylindrical_grad', 'cylindrical_div', 'cylindrical_curl', 'cylindrical_laplacian',
@@ -112,6 +112,72 @@ def laplacian(u, *xs):
 def vector_laplacian(u_x, u_y, u_z, x, y, z):
     r"""Component-wise laplacian of a cartesian vector field."""
     return laplacian(u_x, x, y, z), laplacian(u_y, x, y, z), laplacian(u_z, x, y, z)
+
+
+def biharmonic(u, *xs):
+    r"""Exact biharmonic :math:`\Delta^2 u = \sum_{i,j} \partial^4 u /
+    \partial x_i^2 \partial x_j^2` (plate equation operator). No reference
+    counterpart (`/root/reference/neurodiffeq/operators.py` stops at second
+    order).
+
+    **Design note (compile-flat in d).** Writing the :math:`d(d+1)/2`
+    fourth-order terms as separate ``diff`` chains Python-unrolls the traced
+    graph — XLA compile time then grows ~quadratically with dimension
+    (measured: 96 s at d=4 for the composed ``laplacian(laplacian(u))``
+    inside a train step; minutes-to-hours past d=10). Instead this operator
+    evaluates :math:`\Delta^2 u = \sum_{i \le j} w_{ij}\, D^4
+    u[e_i,e_i,e_j,e_j]` (:math:`w_{ii}=1`, :math:`w_{i<j}=2`) as ONE traced
+    four-level ``jvp`` kernel ``vmap``-ed over the static basis-pair list:
+    the compiled graph is constant-size in d, and the :math:`O(d^2)` work
+    runs as a single fused batched kernel on the device. Runtime is still
+    quadratic in d — for d ≫ 10 use :func:`stde_biharmonic` (this operator
+    with Rademacher probe pairs instead of basis pairs, O(``n_est``)).
+
+    For clamped-plate boundary conditions on a box pair it with
+    :class:`~neurodiffeq_tpu.conditions.DirichletBoxND` ``(power=2)``; see
+    ``benchmarks/biharmonic_ab.py``.
+
+    :param u: A scalar Field (N, 1).
+    :param xs: Coordinate Fields to sum over (pass all coordinates for the
+        full biharmonic).
+    :return: A scalar Field, :math:`\sum_{i,j} \partial^4 u/\partial x_i^2
+        \partial x_j^2` exactly.
+    :rtype: Field
+    """
+    if not isinstance(u, Field):
+        raise TypeError(f"biharmonic expects a Field, got {type(u)}")
+    for x in xs:
+        if not isinstance(x, Field) or x.index is None:
+            raise TypeError(
+                "biharmonic expects coordinate Fields as independent variables")
+    if not xs:
+        raise TypeError("biharmonic needs at least one coordinate")
+
+    coords = u.coords
+    d_sel = len(xs)
+    idx = jnp.asarray([x.index for x in xs])
+    ii, jj = np.triu_indices(d_sel)
+    wts = np.where(ii == jj, 1.0, 2.0)
+
+    inner = u.fn
+    n_u_aux = len(u.aux)
+
+    def fn(z, *aux):
+        u_aux = aux[:n_u_aux]
+        f = lambda zz: jnp.reshape(inner(zz, *u_aux), ())
+        E = jnp.zeros((d_sel,) + z.shape, z.dtype)
+        E = E.at[jnp.arange(d_sel), idx].set(1.0)
+
+        def d4(v, w):
+            g1 = lambda zz: jax.jvp(f, (zz,), (v,))[1]    # D^1 u[v]
+            g2 = lambda zz: jax.jvp(g1, (zz,), (v,))[1]   # D^2 u[v,v]
+            g3 = lambda zz: jax.jvp(g2, (zz,), (w,))[1]   # D^3 u[v,v,w]
+            return jax.jvp(g3, (z,), (w,))[1]             # D^4 u[v,v,w,w]
+
+        vals = jax.vmap(d4)(E[ii], E[jj])
+        return jnp.dot(jnp.asarray(wts, vals.dtype), vals)
+
+    return Field(fn, coords, aux=u.aux)
 
 
 def _stde_probe_key(pts, indices, n_est, salt, tag):
@@ -238,12 +304,12 @@ def stde_biharmonic(u, *xs, n_est=16, salt=0):
     (`/root/reference/neurodiffeq/operators.py` stops at second order and
     computes every partial explicitly).
 
-    The exact biharmonic needs one fourth-derivative chain per coordinate
-    *pair* — :math:`O(d^2)` passes, hopeless already at moderate d (and the
-    reason the shipped guidance "prefer Ritz when derivative order is the
-    bottleneck", ``losses.py``, exists). This estimator instead averages
-    ``n_est`` mixed fourth directional derivatives over *pairs* of
-    independent Rademacher probes:
+    The exact :func:`biharmonic` needs all :math:`d(d+1)/2` fourth-order
+    terms — its vmapped kernel keeps *compile* flat in d but runtime stays
+    :math:`O(d^2)` (and the reason the shipped guidance "prefer Ritz when
+    derivative order is the bottleneck", ``losses.py``, exists). This
+    estimator instead averages ``n_est`` mixed fourth directional
+    derivatives over *pairs* of independent Rademacher probes:
 
     .. math:: \widehat{\Delta^2 u} = \tfrac1J \sum_{j=1}^{J}
         D^4 u[v_j, v_j, w_j, w_j], \qquad v_j, w_j \in \{\pm 1\}^d

@@ -312,7 +312,10 @@ class BaseSolver(ABC, PretrainedSolver):
         self._uncommitted_epochs = 0
 
         # compiled-function cache; invalidated when loss_fn/optimizer change
+        # or the global seed is re-set (trace-time seed-bound constants —
+        # e.g. the stde probe base keys — must rebind to the new seed)
         self._compiled = {}
+        self._compiled_seed = GLOBAL_KEYS.seed_value()
 
     # ------------------------------------------------------------ configuration
 
@@ -570,6 +573,16 @@ class BaseSolver(ABC, PretrainedSolver):
     # ---------------------------------------------------------- compiled epochs
 
     def _get_compiled(self, name, builder):
+        seed = GLOBAL_KEYS.seed_value()
+        if seed != self._compiled_seed:
+            # set_seed() since the last compile: traced programs bake the
+            # seed VALUE into seed-derived constants (`_stde_probe_key`'s
+            # base key, any user closure reading `seed_value()`), so a
+            # reseeded solver must retrace — otherwise a resumed fit keeps
+            # the OLD probe stream while a freshly built solver with the
+            # same seed draws the new one (save/load parity would break)
+            self._invalidate_compiled()
+            self._compiled_seed = seed
         fn = self._compiled.get(name)
         if fn is None:
             fn = builder()

@@ -180,9 +180,51 @@ def test_dirichlet_box_nd_sat_mask_scale_and_exactness_at_high_d():
     assert np.all(m == 0.0), "sat mask must vanish exactly on faces"
 
 
+def test_dirichlet_box_nd_clamped_power2_pins_value_and_normal_derivative():
+    """power=2 (the clamped condition for 4th-order problems, e.g.
+    `stde_biharmonic`): with an untrained net, BOTH u == g and
+    du/dn == dg/dn hold on every face — while the default power=1 pins the
+    value only (its first-order-vanishing mask leaves du/dn trainable)."""
+    d = 3
+    net, params = _net(d)
+    g = lambda *xs: sum(F.sin(np.pi * x) for x in xs) / d + 0.3  # noqa: E731
+    rng = np.random.default_rng(5)
+    pts = rng.random((N, d))
+    pts[:, 0] = 0.0  # every point on the x1 = 0 face
+    g_n = np.pi / d * np.ones(N)  # dg/dx1 at x1=0
+    for power, pinned in ((2, True), (1, False)):
+        cond = C.DirichletBoxND(d, boundary_fn=g, power=power)
+        coords = F.coordinates(*[pts[:, i] for i in range(d)])
+        u = cond.enforce(net, params, *coords)
+        gv = np.sin(np.pi * pts).sum(axis=1, keepdims=True) / d + 0.3
+        assert np.allclose(np.asarray(u.value), gv, atol=ATOL), \
+            f"power={power} broke the value pin"
+        dn = np.asarray(diff(u, coords[0]).value).ravel()
+        if pinned:
+            assert np.allclose(dn, g_n, atol=1e-6), \
+                "clamped mask must pin the normal derivative"
+        else:
+            assert np.abs(dn - g_n).max() > 1e-4, \
+                "power=1 must leave the normal derivative free"
+    # the clamped reparameterization stays 4th-order differentiable: the
+    # biharmonic of u is finite at near-face interior points
+    from neurodiffeq_tpu.operators import stde_biharmonic
+    cond = C.DirichletBoxND(d, boundary_fn=g, power=2)
+    ipts = rng.random((32, d))
+    ipts[:, 1] = 1e-5
+    ic = F.coordinates(*[ipts[:, i] for i in range(d)])
+    bh = np.asarray(stde_biharmonic(
+        cond.enforce(net, params, *ic), *ic, n_est=2).value)
+    assert np.all(np.isfinite(bh))
+
+
 def test_dirichlet_box_nd_validation():
     with pytest.raises(ValueError):
         C.DirichletBoxND(0)
+    with pytest.raises(ValueError, match="power"):
+        C.DirichletBoxND(3, power=0)
+    with pytest.raises(ValueError, match="power"):
+        C.DirichletBoxND(3, power=1.5)
     with pytest.raises(ValueError):
         C.DirichletBoxND(3, mask='gaussian')
     with pytest.raises(ValueError, match="underflows"):

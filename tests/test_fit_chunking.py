@@ -528,3 +528,64 @@ def test_lazy_history_does_not_break_speculation():
     assert len(reads) == 4
     assert solver._fit_spec_hits == 3
     assert solver._fit_spec_misses == 0
+
+
+def test_set_seed_between_fits_rebinds_compiled_probe_stream():
+    """Traced programs bake the global seed VALUE into seed-derived
+    constants (`_stde_probe_key`'s base key). `set_seed` between fits must
+    therefore invalidate the solver's compiled cache: an already-compiled
+    solver resumed under a new seed has to draw the SAME probe stream a
+    freshly constructed solver with that seed would (save/load and
+    multi-solver parity depend on it)."""
+    import numpy as np
+
+    from neurodiffeq_tpu import fields as F
+    from neurodiffeq_tpu.conditions import NoCondition
+    from neurodiffeq_tpu.generators import GeneratorHypercube
+    from neurodiffeq_tpu.operators import stde_laplacian
+    from neurodiffeq_tpu.solvers import GenericSolver
+    from neurodiffeq_tpu.utils import set_seed
+
+    def mk():
+        return GenericSolver(
+            diff_eqs=lambda u, *xs: [stde_laplacian(u, *xs, n_est=2) + u],
+            conditions=[NoCondition()],
+            train_generator=GeneratorHypercube(16, dim=2),
+            valid_generator=GeneratorHypercube(16, dim=2),
+            n_input_units=2, n_output_units=1, n_batches_valid=0,
+            key=__import__('jax').random.PRNGKey(3),
+        )
+
+    set_seed(7)
+    veteran = mk()
+    veteran.fit(max_epochs=4, tqdm_file=None)  # compiles under seed 7
+
+    set_seed(99)
+    veteran.fit(max_epochs=1, tqdm_file=None)   # must retrace under seed 99
+    set_seed(99)
+    fresh = mk()
+    fresh.fit(max_epochs=4, tqdm_file=None)     # same params trajectory? no -
+    # param states differ (veteran trained 4 epochs under seed 7), so compare
+    # the LOSS FUNCTION, not the trajectory: same params + same points + same
+    # seed must give the identical stochastic loss
+    pts = np.random.default_rng(0).random((16, 2))
+    cols = [pts[:, i:i + 1] for i in range(2)]
+    set_seed(123)
+    l_veteran = float(veteran._loss_and_metrics(fresh.params, cols)[0])
+    set_seed(123)
+    l_fresh = float(fresh._loss_and_metrics(fresh.params, cols)[0])
+    assert np.isclose(l_veteran, l_fresh, rtol=1e-10)
+
+    # and the chunked-fit path itself: reseeding mid-life yields the same
+    # next-epoch loss as a save/load clone resumed under the same seed
+    import tempfile
+    path = tempfile.mktemp(suffix='.ndq')
+    veteran.save(path=path)
+    clone = GenericSolver.load(path=path)
+    set_seed(555)
+    veteran.fit(max_epochs=1, tqdm_file=None)
+    set_seed(555)
+    clone.fit(max_epochs=1, tqdm_file=None)
+    assert np.isclose(float(veteran.metrics_history['train_loss'][-1]),
+                      float(clone.metrics_history['train_loss'][-1]),
+                      rtol=1e-10)

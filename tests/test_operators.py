@@ -458,3 +458,43 @@ def test_stde_biharmonic_validates_inputs():
         ops.stde_biharmonic(u)
     with pytest.raises(TypeError):
         ops.stde_biharmonic(u, u * 2)
+
+
+def test_biharmonic_exact_closed_form():
+    # Delta^2 [sum (i+1) x_i^4 + x0^2 x1^2] = 24*sum(i+1) + 2*u_0011 = 360 + 8
+    d = 5
+    coords = F.coordinates(*[np.random.rand(64) for _ in range(d)])
+    u = sum((i + 1.0) * c * c * c * c for i, c in enumerate(coords))
+    u = u + coords[0] * coords[0] * coords[1] * coords[1]
+    bh = ops.biharmonic(u, *coords)
+    assert _max(bh - (24.0 * 15 + 8.0)) < 1e-6
+
+
+def test_biharmonic_matches_composed_laplacian_on_net():
+    # parity with laplacian(laplacian(u)) on a random MLP — same values, but
+    # the vmapped basis-pair kernel compiles constant-size in d (the whole
+    # point; the composed form Python-unrolls d^2 fourth-order chains)
+    d = 3
+    net = FCNN(n_input_units=d, n_output_units=1, hidden_units=(8,))
+    params = net.init(jax.random.PRNGKey(2))
+    pts = np.random.rand(16, d)
+    coords = F.coordinates(*[pts[:, i] for i in range(d)])
+    u = F.network_field(lambda xs: net.apply(params, xs), coords[0].coords)
+    direct = np.asarray(ops.biharmonic(u, *coords).value)
+    composed = np.asarray(
+        ops.laplacian(ops.laplacian(u, *coords), *coords).value)
+    np.testing.assert_allclose(direct, composed, rtol=1e-6, atol=1e-8)
+
+
+def test_biharmonic_subset_and_validation():
+    coords = F.coordinates(*[np.random.rand(32) for _ in range(3)])
+    x0, x1, x2 = coords
+    u = x0 * x0 * x0 * x0 + 5 * x2 * x2 * x2 * x2 + x0 * x0 * x1 * x1
+    # subset {x0, x1}: u_0000 + 2 u_0011 = 24 + 8 (x2 term excluded)
+    assert _max(ops.biharmonic(u, x0, x1) - 32.0) < 1e-6
+    with pytest.raises(TypeError):
+        ops.biharmonic(np.zeros(32), *coords)
+    with pytest.raises(TypeError):
+        ops.biharmonic(u)
+    with pytest.raises(TypeError):
+        ops.biharmonic(u, u * 2)

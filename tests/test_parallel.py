@@ -412,6 +412,39 @@ def test_stde_laplacian_matches_unsharded_on_mesh():
     _grad_parity(s_plain, s_mesh, cols)
 
 
+def test_stde_biharmonic_matches_unsharded_on_mesh():
+    """Same sharded-semantics contract as the Laplacian estimator, for the
+    4th-order one: `_stde_probe_key`'s points digest is an order-independent
+    global reduction, so the Rademacher probe-pair stream is shard-invariant
+    and the clamped-plate loss/grad match the unsharded run exactly."""
+    from neurodiffeq_tpu.solvers import GenericSolver
+    from neurodiffeq_tpu.conditions import DirichletBoxND
+    from neurodiffeq_tpu.generators import GeneratorHypercube
+    from neurodiffeq_tpu.operators import stde_biharmonic
+    from neurodiffeq_tpu import fields as F
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    d = 3
+    pde = lambda u, *xs: [stde_biharmonic(u, *xs, n_est=2)
+                          - sum(F.sin(np.pi * x) for x in xs) * np.pi ** 4 / d]
+    common = dict(
+        diff_eqs=pde,
+        conditions=[DirichletBoxND(d, power=2)],
+        train_generator=GeneratorHypercube(8 * n_dev, dim=d),
+        valid_generator=GeneratorHypercube(8 * n_dev, dim=d),
+        n_input_units=d, n_output_units=1, n_batches_valid=0,
+        key=jax.random.PRNGKey(7),
+    )
+    s_plain = GenericSolver(**common)
+    s_mesh = GenericSolver(**common, mesh=mesh)
+
+    rng = np.random.RandomState(0)
+    pts = rng.rand(8 * n_dev, d)
+    cols = [pts[:, i:i + 1] for i in range(d)]
+    _grad_parity(s_plain, s_mesh, cols)
+
+
 def test_variational_loss_matches_unsharded_on_mesh():
     """Deep Ritz energy loss under the points mesh: the loss is a plain mean
     over the (sharded) points axis of a first-derivative density — parity of

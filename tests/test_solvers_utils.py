@@ -503,6 +503,47 @@ def test_save_load_hypercube_halton_generators(tmp_path):
     assert loaded.global_epoch == 9
 
 
+def test_save_load_clamped_biharmonic_solver(tmp_path):
+    """A clamped-plate solver (DirichletBoxND(power=2) + stde_biharmonic)
+    survives save/load: the condition keeps its mask/power config (the
+    boundary stays exact to 2nd order in the loaded solver) and training
+    resumes with epoch parity."""
+    from neurodiffeq_tpu import fields as F
+    from neurodiffeq_tpu.conditions import DirichletBoxND
+    from neurodiffeq_tpu.generators import GeneratorHypercube
+    from neurodiffeq_tpu.networks import FCNN
+    from neurodiffeq_tpu.operators import stde_biharmonic
+    from neurodiffeq_tpu.solvers import GenericSolver
+
+    d = 3
+    solver = GenericSolver(
+        diff_eqs=lambda u, *xs: [stde_biharmonic(u, *xs, n_est=2)
+                                 - sum(F.sin(np.pi * x) for x in xs)],
+        conditions=[DirichletBoxND(d, power=2, mask='sat', k=5)],
+        nets=[FCNN(n_input_units=d, n_output_units=1, hidden_units=(16,))],
+        train_generator=GeneratorHypercube(32, dim=d),
+        valid_generator=GeneratorHypercube(32, dim=d),
+        n_batches_valid=0,
+    )
+    solver.fit(max_epochs=5, tqdm_file=None)
+    path = str(tmp_path / 'clamped.ndq')
+    solver.save(path=path)
+
+    loaded = GenericSolver.load(path=path)
+    cond = loaded.conditions[0]
+    assert isinstance(cond, DirichletBoxND)
+    assert cond.power == 2 and cond.mask == 'sat' and cond.k == 5
+    # clamped invariant survives the round trip: u == 0 and du/dn == 0 on a face
+    pts = np.random.default_rng(0).random((16, d))
+    pts[:, 0] = 0.0
+    sol = loaded.get_solution(best=False)
+    vals = np.asarray(sol(*[pts[:, i] for i in range(d)], to_numpy=True))
+    assert np.allclose(vals, 0.0, atol=1e-6)
+    _resume_parity(solver, loaded, seed=321)
+    loaded.fit(max_epochs=3, tqdm_file=None)
+    assert loaded.global_epoch == 9
+
+
 def test_hub_roundtrip_siren(tmp_path, monkeypatch):
     """Hub-mock upload/download of a SIREN solver: the round-4 net class
     survives the wire path (dill blob through the mocked hub), not just the
