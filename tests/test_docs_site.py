@@ -25,7 +25,7 @@ def site(tmp_path_factory):
 def test_site_builds_all_pages(site):
     out, built, dangling = site
     assert dangling == []
-    # landing page + architecture + benchmarks + 6 guides + 4 tutorials
+    # landing page + architecture + benchmarks + 6 guides + 5 tutorials
     # + API index + 20 API module pages
     assert len(built) >= 30
     for page in ['index.html', 'getting-started.html', 'architecture.html',
