@@ -28,6 +28,44 @@ try:
 except Exception:  # pragma: no cover
     dill = None
 
+
+def _dill_load_protected(fileobj):
+    """``dill.load`` with live-module state protection.
+
+    dill serializes a MODULE OBJECT by value when it sits in a closure cell —
+    e.g. a user's ``diff_eqs`` defined inside a function body after a local
+    ``from neurodiffeq_tpu import fields as F`` (the lambda then closes over
+    the module itself). Unpickling such a blob imports the real module and
+    ``__dict__.update``s it with the pickled copies, silently rebinding every
+    live global — engine dispatch tables, eval-mode flags, the field-aware
+    math functions — to stale duplicates from save time. (The reference
+    inherits the same dill behavior but has no module-level dispatch state to
+    corrupt; our batched-Taylor engine does, so a clobbered
+    ``fields._JET_SAFE_OPS`` would silently drop every subsequent expression
+    onto the per-sample fallback path.)
+
+    Guard: snapshot every already-imported module's ``__dict__`` and, after
+    the load, restore any entry whose IDENTITY the load changed. The loaded
+    solver keeps working — its closure cells reference the module object, not
+    the stale values — and the process keeps its real module state. Keys the
+    load *adds* to a module are left alone (imports triggered by the load
+    legitimately bind new submodule attributes).
+    """
+    import sys
+    snapshot = {name: dict(m.__dict__)
+                for name, m in list(sys.modules.items()) if m is not None}
+    try:
+        return dill.load(fileobj)
+    finally:
+        for name, saved in snapshot.items():
+            mod = sys.modules.get(name)
+            if mod is None:
+                continue
+            live = mod.__dict__
+            for k, v in saved.items():
+                if k in live and live[k] is not v:
+                    live[k] = v
+
 DEFAULT_API_URL = "https://dev.neurodiff.io/v1/" if os.getenv("DEV") else "https://api.neurodiff.io/v1/"
 
 # module-level constants mirroring the reference's import-time env lookups
@@ -392,7 +430,7 @@ class PretrainedSolver:
             raise ValueError("Either `path` or `name` must be provided")
         if path is not None:
             with open(path, 'rb') as f:
-                save_dict = dill.load(f)
+                save_dict = _dill_load_protected(f)
         else:
             save_dict = cls._download_from_hub(name)
 
@@ -470,7 +508,7 @@ class PretrainedSolver:
             headers["api-key"] = _get_api_key()
         resp = requests.get(url, headers=headers)
         resp.raise_for_status()
-        return dill.load(io.BytesIO(resp.content))
+        return _dill_load_protected(io.BytesIO(resp.content))
 
 
 def get_file(path_or_name):

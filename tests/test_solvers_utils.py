@@ -658,3 +658,66 @@ def test_reference_parity_helpers():
 
     assert isinstance(su.DEV, bool)
     assert su.NEURODIFF_API_URL.startswith('http')
+
+
+def test_load_does_not_clobber_module_globals(tmp_path):
+    """dill pickles a MODULE by value when it sits in a closure cell (a
+    diff_eqs lambda defined after a function-local `import ... as F` — the
+    common notebook pattern), and a raw dill.load would then
+    `fields.__dict__.update(...)` every live global with stale save-time
+    copies: identity-keyed dispatch (`_JET_SAFE_OPS`) stops recognizing
+    jnp ops and every later expression silently falls back to the
+    per-sample path. `_dill_load_protected` must restore any rebound
+    module entry after the load while keeping the loaded solver usable."""
+    import jax
+    import jax.numpy as jnp
+    from neurodiffeq_tpu import fields as F
+    from neurodiffeq_tpu.conditions import DirichletBoxND, _ann_field
+    from neurodiffeq_tpu.generators import GeneratorHypercube
+    from neurodiffeq_tpu.networks import FCNN
+    from neurodiffeq_tpu.solvers import GenericSolver
+
+    # the hazard: the lambda closes over the fields MODULE via a cell
+    def make_eqs():
+        from neurodiffeq_tpu import fields as F_local
+        return lambda u, x, y: [F.diff(u, x, 2) + F_local.sin(u)]
+
+    eqs = make_eqs()
+    assert any(isinstance(c.cell_contents, type(F))
+               for c in eqs.__closure__), "hazard setup lost its module cell"
+
+    solver = GenericSolver(
+        diff_eqs=eqs,
+        conditions=[DirichletBoxND(2)],
+        nets=[FCNN(n_input_units=2, n_output_units=1, hidden_units=(8,))],
+        train_generator=GeneratorHypercube(16, dim=2),
+        valid_generator=GeneratorHypercube(16, dim=2),
+        n_batches_valid=0,
+    )
+    solver.fit(max_epochs=2, tqdm_file=None)
+
+    before = {name: obj for name, obj in vars(F).items()
+              if not name.startswith('__')}
+    path = str(tmp_path / 'cell.ndq')
+    solver.save(path=path)
+    loaded = GenericSolver.load(path=path)
+
+    rebound = [name for name, obj in before.items()
+               if getattr(F, name, None) is not obj]
+    assert rebound == [], f"load rebound fields globals: {rebound}"
+    # identity-keyed fast-path dispatch still recognizes live jnp ops
+    assert jnp.multiply in F._jet_safe_ops()
+
+    # a FRESH expression still gets the batched fast path (no fallback)
+    net = FCNN(n_input_units=2, n_output_units=1, hidden_units=(8,))
+    params = net.init(jax.random.PRNGKey(0))
+    pts = np.linspace(0.1, 0.9, 7)
+    x, y = F.coordinates(pts, pts)
+    u = _ann_field(net, params, (x, y))
+    composed = F.diff(x ** 2 * F.diff(u, x), x)
+    assert composed._dinfo is not None and composed.trule is not None
+
+    # and the loaded solver still trains (its closure cell references the
+    # live module object, not the discarded stale copies)
+    loaded.fit(max_epochs=2, tqdm_file=None)
+    assert loaded.global_epoch == 4
